@@ -1,0 +1,440 @@
+"""Input encoders as flax.linen modules.
+
+Capability parity with /root/reference/arcnerf/models/base_modules/encoding/:
+- FreqEmbedder (freq_encoder.py:10-88) — NeRF positional encoding
+- Gaussian + GaussianEmbedder (gaussian_encoder.py:9-217) — MipNeRF IPE
+- SHEmbedder (sh_encoder.py:20-199) — spherical harmonics degree 1..5,
+  closed-form jnp (no tcnn needed; SH is pure VPU math on TPU)
+- HashGridEmbedder (hashgrid_encoder.py:22-263) — instant-ngp multi-res
+  hashgrid. TPU-native design: one uniform (L, T, F) table (static shapes,
+  single vectorized gather across all levels) instead of ragged per-level
+  offsets; levels whose dense grid fits in T index directly, others use the
+  xor-prime hash. XLA turns the backward gather into scatter-add.
+- DenseGridEmbedder (densegrid_encoder.py:11-140) — dense voxel features
+- CompositeEmbedder (composite_encoder.py:11-44) — sequential chaining
+
+All encoders expose ``out_dim`` and ``__call__(x) -> (B, out_dim)``.
+"""
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...utils.registry import ENCODER_REGISTRY
+
+# instant-ngp xor-hash primes (first is 1 so x varies fastest in dense-ish regions)
+_HASH_PRIMES = (1, 2654435761, 805459861)
+
+# corner offsets (8, 3) in z-outer order shared with geometry.volume
+_CORNER_OFFSETS = np.array(
+    [[0, 0, 0], [0, 1, 0], [1, 0, 0], [1, 1, 0], [0, 0, 1], [0, 1, 1], [1, 0, 1], [1, 1, 1]], dtype=np.int32
+)
+
+
+@ENCODER_REGISTRY.register()
+class FreqEmbedder(nn.Module):
+    """sin/cos positional encoding: x -> [x?, sin(f_i x), cos(f_i x)...]."""
+
+    input_dim: int = 3
+    n_freqs: int = 10
+    log_sampling: bool = True
+    include_input: bool = True
+
+    @property
+    def out_dim(self):
+        return self.include_input * self.input_dim + self.input_dim * 2 * self.n_freqs
+
+    def get_output_dim(self):
+        return self.out_dim
+
+    def _freq_bands(self):
+        if self.n_freqs == 0:
+            return None
+        if self.log_sampling:
+            return 2.0 ** np.linspace(0.0, self.n_freqs - 1, self.n_freqs)
+        return np.linspace(2.0**0.0, 2.0 ** (self.n_freqs - 1), self.n_freqs)
+
+    @nn.compact
+    def __call__(self, x):
+        out = [x] if self.include_input else []
+        bands = self._freq_bands()
+        if bands is not None:
+            # (B, D) x (F,) -> (B, F, D) -> sin/cos stacked on feature axis
+            scaled = x[..., None, :] * jnp.asarray(bands, dtype=x.dtype)[:, None]
+            sin = jnp.sin(scaled)
+            cos = jnp.cos(scaled)
+            enc = jnp.stack([sin, cos], axis=-2)  # (B, F, 2, D)
+            out.append(enc.reshape(x.shape[:-1] + (-1,)))
+        return out[0] if len(out) == 1 else jnp.concatenate(out, axis=-1)
+
+
+class Gaussian(nn.Module):
+    """zvals + rays -> per-interval Gaussian (mean, diag cov) for MipNeRF.
+
+    ``gaussian_fn``: 'cone' or 'cylinder' (reference gaussian_encoder.py:9-135).
+    """
+
+    gaussian_fn: str = "cone"
+
+    def __call__(self, zvals, rays_o, rays_d, rays_r):
+        """zvals (B, N+1), rays_o/d (B, 3), rays_r (B, 1) -> (B, N, 6)."""
+        means, covs = self.get_conical_frustum(zvals, rays_o, rays_d, rays_r)
+        return jnp.concatenate([means, covs], axis=-1)
+
+    def get_conical_frustum(self, zvals, rays_o, rays_d, rays_r):
+        t_start, t_end = zvals[:, :-1], zvals[:, 1:]
+        if self.gaussian_fn == "cone":
+            means, covs = self._cone_to_gaussian(rays_d, t_start, t_end, rays_r)
+        elif self.gaussian_fn == "cylinder":
+            means, covs = self._cylinder_to_gaussian(rays_d, t_start, t_end, rays_r)
+        else:
+            raise NotImplementedError("invalid gaussian fn {}".format(self.gaussian_fn))
+        return means + rays_o[:, None, :], covs
+
+    @staticmethod
+    def _lift(rays_d, t_mean, t_var, r_var):
+        mean = rays_d[:, None, :] * t_mean[..., None]
+        d_mag_sq = jnp.maximum(jnp.sum(rays_d**2, axis=-1, keepdims=True), 1e-10)
+        d_outer = rays_d**2
+        null_outer = 1.0 - d_outer / d_mag_sq
+        cov = t_var[..., None] * d_outer[:, None, :] + r_var[..., None] * null_outer[:, None, :]
+        return mean, cov
+
+    def _cone_to_gaussian(self, rays_d, t0, t1, rays_r):
+        mu = (t0 + t1) / 2.0
+        hw = (t1 - t0) / 2.0
+        common = 3.0 * mu**2 + hw**2
+        t_mean = mu + (2.0 * mu * hw**2) / common
+        t_var = (hw**2) / 3.0 - (4.0 / 15.0) * ((hw**4 * (12.0 * mu**2 - hw**2)) / common**2)
+        r_var = rays_r**2 * ((mu**2) / 4.0 + (5.0 / 12.0) * hw**2 - (4.0 / 15.0) * (hw**4) / common)
+        return self._lift(rays_d, t_mean, t_var, r_var)
+
+    def _cylinder_to_gaussian(self, rays_d, t0, t1, rays_r):
+        t_mean = (t0 + t1) / 2.0
+        t_var = (t1 - t0) ** 2 / 12.0
+        r_var = jnp.broadcast_to(rays_r**2 / 4.0, t_mean.shape)
+        return self._lift(rays_d, t_mean, t_var, r_var)
+
+
+@ENCODER_REGISTRY.register()
+class GaussianEmbedder(nn.Module):
+    """Integrated positional encoding: exp(-f^2 cov / 2) * sin/cos(f mean)."""
+
+    input_dim: int = 3
+    n_freqs: int = 10
+    log_sampling: bool = True
+    include_input: bool = True
+
+    @property
+    def out_dim(self):
+        return self.include_input * self.input_dim + self.input_dim * 2 * self.n_freqs
+
+    def get_output_dim(self):
+        return self.out_dim
+
+    @nn.compact
+    def __call__(self, x):
+        """x (B, input_dim*2): [mean, diag cov] -> (B, out_dim)."""
+        means, covs = x[..., : self.input_dim], x[..., self.input_dim:]
+        out = [means] if self.include_input else []
+        if self.n_freqs > 0:
+            if self.log_sampling:
+                bands = 2.0 ** np.linspace(0.0, self.n_freqs - 1, self.n_freqs)
+            else:
+                bands = np.linspace(2.0**0.0, 2.0 ** (self.n_freqs - 1), self.n_freqs)
+            bands = jnp.asarray(bands, dtype=x.dtype)
+            scaled = means[..., None, :] * bands[:, None]  # (B, F, D)
+            damp = jnp.exp(-0.5 * (bands**2)[:, None] * covs[..., None, :])  # (B, F, D)
+            enc = jnp.stack([damp * jnp.sin(scaled), damp * jnp.cos(scaled)], axis=-2)
+            out.append(enc.reshape(x.shape[:-1] + (-1,)))
+        return out[0] if len(out) == 1 else jnp.concatenate(out, axis=-1)
+
+
+def sh_basis(dirs, degree):
+    """Real spherical-harmonic basis values up to ``degree`` (1..5).
+
+    dirs (B, 3) unit vectors -> (B, degree^2). Hard-coded polynomial
+    coefficients (same basis family as tcnn's SphericalHarmonics).
+    """
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    ones = jnp.ones_like(x)
+    comps = [0.28209479177387814 * ones]
+    if degree >= 2:
+        comps += [
+            -0.4886025119029199 * y,
+            0.4886025119029199 * z,
+            -0.4886025119029199 * x,
+        ]
+    if degree >= 3:
+        comps += [
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.31539156525252005 * (2.0 * zz - xx - yy),
+            -1.0925484305920792 * xz,
+            0.5462742152960396 * (xx - yy),
+        ]
+    if degree >= 4:
+        comps += [
+            -0.5900435899266435 * y * (3.0 * xx - yy),
+            2.890611442640554 * xy * z,
+            -0.4570457994644658 * y * (4.0 * zz - xx - yy),
+            0.3731763325901154 * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            -0.4570457994644658 * x * (4.0 * zz - xx - yy),
+            1.445305721320277 * z * (xx - yy),
+            -0.5900435899266435 * x * (xx - 3.0 * yy),
+        ]
+    if degree >= 5:
+        comps += [
+            2.5033429417967046 * xy * (xx - yy),
+            -1.7701307697799304 * yz * (3.0 * xx - yy),
+            0.9461746957575601 * xy * (7.0 * zz - 1.0),
+            -0.6690465435572892 * yz * (7.0 * zz - 3.0),
+            0.10578554691520431 * (35.0 * zz * zz - 30.0 * zz + 3.0),
+            -0.6690465435572892 * xz * (7.0 * zz - 3.0),
+            0.47308734787878004 * (xx - yy) * (7.0 * zz - 1.0),
+            -1.7701307697799304 * xz * (xx - 3.0 * yy),
+            0.6258357354491761 * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
+        ]
+    return jnp.stack(comps, axis=-1)
+
+
+@ENCODER_REGISTRY.register()
+class SHEmbedder(nn.Module):
+    """Spherical-harmonics direction encoding, degree = n_freqs in 1..5."""
+
+    input_dim: int = 3
+    n_freqs: int = 4
+    include_input: bool = False
+
+    @property
+    def out_dim(self):
+        return self.include_input * self.input_dim + self.n_freqs**2
+
+    def get_output_dim(self):
+        return self.out_dim
+
+    @nn.compact
+    def __call__(self, dirs):
+        assert 1 <= self.n_freqs <= 5, "SH degree must be 1..5"
+        out = [dirs] if self.include_input else []
+        out.append(sh_basis(dirs, self.n_freqs))
+        return out[0] if len(out) == 1 else jnp.concatenate(out, axis=-1)
+
+
+def fast_hash(idx, table_size):
+    """xor-prime spatial hash of integer corner coords.
+
+    idx (..., 3) int32 -> (...,) int32 in [0, table_size). table_size must be
+    a power of two (bitwise-and modulus); multiplication wraps in uint32.
+    """
+    u = idx.astype(jnp.uint32)
+    h = u[..., 0] * jnp.uint32(_HASH_PRIMES[0])
+    h = h ^ (u[..., 1] * jnp.uint32(_HASH_PRIMES[1]))
+    h = h ^ (u[..., 2] * jnp.uint32(_HASH_PRIMES[2]))
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+@ENCODER_REGISTRY.register()
+class HashGridEmbedder(nn.Module):
+    """Multi-resolution hash grid (instant-ngp).
+
+    One (L, T, F) table; per-level resolution r_l = ceil(base * s^l - 1),
+    s = exp(ln(max/base)/(L-1)). Levels with (r_l+1)^3 <= T index densely,
+    others hash. All levels are gathered in one vectorized op.
+    """
+
+    input_dim: int = 3
+    n_levels: int = 16
+    n_feat_per_entry: int = 2
+    hashmap_size: int = 19  # log2(T)
+    base_res: int = 16
+    max_res: int = 2048
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    side: Any = None
+    xyz_len: Any = None
+    include_input: bool = True
+    dtype: Any = jnp.float32
+    init_std: float = 1e-4
+
+    @property
+    def out_dim(self):
+        return self.n_levels * self.n_feat_per_entry + self.include_input * self.input_dim
+
+    def get_output_dim(self):
+        return self.out_dim
+
+    @property
+    def table_size(self):
+        return 2**self.hashmap_size
+
+    def _resolutions(self):
+        scale = math.exp(math.log(self.max_res / self.base_res) / (self.n_levels - 1))
+        return np.array(
+            [int(math.ceil(self.base_res * (scale**i) - 1.0)) for i in range(self.n_levels)], dtype=np.int32
+        )
+
+    def _aabb(self):
+        assert self.side is not None or self.xyz_len is not None, "hashgrid needs a volume size"
+        origin = np.asarray(self.origin, dtype=np.float32)
+        xyz_len = (
+            np.array([self.side] * 3, dtype=np.float32)
+            if self.side is not None
+            else np.asarray(self.xyz_len, dtype=np.float32)
+        )
+        return origin - xyz_len / 2.0, origin + xyz_len / 2.0
+
+    @nn.compact
+    def __call__(self, xyz):
+        """xyz (B, 3) world coords inside the volume -> (B, out_dim)."""
+        T, L, F = self.table_size, self.n_levels, self.n_feat_per_entry
+        table = self.param(
+            "embeddings",
+            lambda key, shape: nn.initializers.uniform(scale=2 * self.init_std)(key, shape, self.dtype)
+            - self.init_std,
+            (L, T, F),
+        )
+        res = self._resolutions()  # (L,) static
+        dense_ok = (res.astype(np.int64) + 1) ** 3 <= T  # (L,) static bools
+        mn, mx = self._aabb()
+
+        norm = (xyz - jnp.asarray(mn)) / jnp.asarray(mx - mn)  # (B, 3) in [0,1]
+        res_j = jnp.asarray(res, dtype=xyz.dtype)  # (L,)
+        pos = norm[:, None, :] * res_j[None, :, None]  # (B, L, 3)
+        idx0 = jnp.floor(pos).astype(jnp.int32)
+        idx0 = jnp.clip(idx0, 0, jnp.asarray(res, dtype=jnp.int32)[None, :, None] - 1)
+        frac = pos - idx0.astype(pos.dtype)  # (B, L, 3)
+
+        corners = idx0[:, :, None, :] + jnp.asarray(_CORNER_OFFSETS)[None, None]  # (B, L, 8, 3)
+
+        # dense flat index on the (r+1)^3 lattice
+        n1 = jnp.asarray(res + 1, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
+        dense_idx = (corners[..., 0] * n1 + corners[..., 1]) * n1 + corners[..., 2]  # (B, L, 8)
+        hash_idx = fast_hash(corners, T)  # (B, L, 8)
+        use_dense = jnp.asarray(dense_ok)[None, :, None]
+        entry_idx = jnp.where(use_dense, dense_idx % T, hash_idx)  # (B, L, 8)
+
+        # gather: one take along the table axis per level, vectorized
+        level_ids = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :, None], entry_idx.shape)
+        feats = table[level_ids, entry_idx]  # (B, L, 8, F)
+
+        # trilinear weights in the same corner order
+        off = jnp.asarray(_CORNER_OFFSETS, dtype=pos.dtype)  # (8, 3)
+        w = jnp.prod(
+            off[None, None] * frac[:, :, None, :] + (1.0 - off[None, None]) * (1.0 - frac[:, :, None, :]), axis=-1
+        )  # (B, L, 8)
+        embed = jnp.sum(feats * w[..., None], axis=2)  # (B, L, F)
+        embed = embed.reshape(xyz.shape[0], L * F).astype(xyz.dtype)
+
+        if self.include_input:
+            return jnp.concatenate([xyz, embed], axis=-1)
+        return embed
+
+
+@ENCODER_REGISTRY.register()
+class DenseGridEmbedder(nn.Module):
+    """Dense voxel grid of learnable features with trilinear interpolation
+    (reference densegrid_encoder.py:11-140). Optional W_feat_sigma channels
+    can act as a direct density head; optional sphere-sdf init on channel 0."""
+
+    input_dim: int = 3
+    n_grid: int = 128
+    n_feat: int = 4
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    side: Any = None
+    xyz_len: Any = None
+    include_input: bool = True
+    radius_init: Any = None  # if set, init channel 0 as sphere sdf of this radius
+    dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self):
+        return self.n_feat + self.include_input * self.input_dim
+
+    def get_output_dim(self):
+        return self.out_dim
+
+    def _aabb(self):
+        assert self.side is not None or self.xyz_len is not None
+        origin = np.asarray(self.origin, dtype=np.float32)
+        xyz_len = (
+            np.array([self.side] * 3, dtype=np.float32)
+            if self.side is not None
+            else np.asarray(self.xyz_len, dtype=np.float32)
+        )
+        return origin - xyz_len / 2.0, origin + xyz_len / 2.0
+
+    def _init_grid(self, key, shape, dtype):
+        feats = nn.initializers.normal(stddev=1e-2)(key, shape, dtype)
+        if self.radius_init is not None:
+            mn, mx = self._aabb()
+            n1 = self.n_grid + 1
+            axes = [np.linspace(mn[i], mx[i], n1) for i in range(3)]
+            pts = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+            sdf = np.linalg.norm(pts, axis=-1) - float(self.radius_init)
+            feats = feats.at[:, 0].set(jnp.asarray(sdf, dtype=dtype))
+        return feats
+
+    @nn.compact
+    def __call__(self, xyz):
+        """xyz (B, 3) -> (B, out_dim); zeros outside the volume."""
+        n1 = self.n_grid + 1
+        feats = self.param("grid", self._init_grid, (n1**3, self.n_feat), self.dtype)
+        mn, mx = self._aabb()
+        norm = (xyz - jnp.asarray(mn)) / jnp.asarray(mx - mn)
+        pos = norm * self.n_grid  # (B, 3)
+        valid = jnp.all((norm >= 0) & (norm <= 1.0), axis=-1)
+        idx0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, self.n_grid - 1)
+        frac = jnp.clip(pos - idx0.astype(pos.dtype), 0.0, 1.0)
+
+        corners = idx0[:, None, :] + jnp.asarray(_CORNER_OFFSETS)[None]  # (B, 8, 3)
+        flat = (corners[..., 0] * n1 + corners[..., 1]) * n1 + corners[..., 2]  # (B, 8)
+        vals = feats[flat]  # (B, 8, F)
+        off = jnp.asarray(_CORNER_OFFSETS, dtype=pos.dtype)
+        w = jnp.prod(off[None] * frac[:, None, :] + (1 - off[None]) * (1 - frac[:, None, :]), axis=-1)  # (B, 8)
+        out = jnp.sum(vals * w[..., None], axis=1)  # (B, F)
+        out = jnp.where(valid[:, None], out, 0.0)
+        if self.include_input:
+            return jnp.concatenate([xyz, out], axis=-1)
+        return out
+
+
+@ENCODER_REGISTRY.register()
+class CompositeEmbedder(nn.Module):
+    """Sequential chain of sub-encoders (NSVF style: DenseGrid -> Freq).
+
+    ``sub_encoder_cfgs``: tuple of dicts, each a sub-encoder config with
+    ``type`` key (reference composite_encoder.py:11-44).
+    """
+
+    sub_encoder_cfgs: Sequence[Any] = ()
+
+    @property
+    def out_dim(self):
+        dim = None
+        for sub in self._build_subs():
+            dim = sub.out_dim
+        return dim
+
+    def get_output_dim(self):
+        return self.out_dim
+
+    def _build_subs(self):
+        from ...utils.registry import ENCODER_REGISTRY as REG
+
+        subs = []
+        for cfg in self.sub_encoder_cfgs:
+            kwargs = dict(cfg)
+            enc_type = kwargs.pop("type")
+            subs.append(REG.get(enc_type)(**kwargs))
+        return subs
+
+    @nn.compact
+    def __call__(self, x):
+        for sub in self._build_subs():
+            x = sub(x)
+        return x

@@ -1,0 +1,418 @@
+"""Ray generation, z-value sampling, importance resampling, and volume
+integration (ray marching) in pure jnp.
+
+Capability parity with /root/reference/arcnerf/render/ray_helper.py:
+get_rays:12, get_ndc_rays:122, equal_sample, get_near_far_from_rays:175,
+get_zvals_from_near_far:231, get_zvals_from_near_far_fix_step:267,
+get_zvals_outside_sphere:318, perturb_interval:361, sample_pdf:410,
+sample_cdf:432, ray_marching:476, alpha_to_weights:596,
+make_sample_rays:681, handle_valid_mask_zvals:753.
+
+TPU-first notes:
+- randomness is explicit (``key=`` PRNG key); ``key=None`` means
+  deterministic (the reference's ``perturb=False`` / inference mode),
+- masked compaction (handle_valid_mask_zvals) is a stable argsort —
+  O(N log N) XLA sort instead of boolean fancy indexing,
+- everything is static-shape, jit/vmap/grad-safe.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.projection import pixel_to_world
+from ..geometry.ray import sphere_ray_intersection
+from ..geometry.transformation import normalize
+
+
+def get_rays(
+    W,
+    H,
+    intrinsic,
+    c2w,
+    wh_order=True,
+    index=None,
+    n_rays=-1,
+    key=None,
+    ndc=False,
+    ndc_near=1.0,
+    center_pixel=False,
+    normalize_rays_d=True,
+):
+    """Rays in world coordinates for one camera.
+
+    intrinsic (3, 3), c2w (4, 4). Selection: ``index`` is (N, 2) int (i, j)
+    pixel coords, or ``n_rays > 0`` random rays (requires ``key``).
+
+    Returns rays_o (N, 3), rays_d (N, 3), index (flat indices or None),
+    rays_r (N, 1) mip-nerf pixel radius (full-image mode only, else None).
+    """
+    assert index is None or n_rays <= 0, "cannot sample by both index and n_rays"
+    dtype = intrinsic.dtype
+    i, j = jnp.meshgrid(jnp.arange(W, dtype=dtype), jnp.arange(H, dtype=dtype), indexing="ij")
+    pixels = jnp.stack([i, j], axis=-1).reshape(-1, 2)[None]  # (1, WH, 2), wh order
+
+    if center_pixel:
+        pixels = pixels + 0.5
+
+    flat_index = None
+    if index is not None:
+        index = jnp.asarray(index)
+        flat_index = index[:, 0].astype(jnp.int32) * H + index[:, 1].astype(jnp.int32)
+    if n_rays > 0:
+        assert key is not None, "random sampling needs a PRNG key"
+        flat_index = jax.random.choice(key, W * H, shape=(n_rays,), replace=False)
+    if flat_index is not None:
+        pixels = pixels[:, flat_index, :]
+
+    if not wh_order and flat_index is None and n_rays <= 0:
+        pixels = pixels[0].reshape(W, H, 2).transpose(1, 0, 2).reshape(-1, 2)[None]
+
+    z = jnp.ones((1, pixels.shape[1]), dtype=dtype)
+    xyz_world = pixel_to_world(pixels, z, intrinsic[None], c2w[None])  # (1, N, 3)
+
+    cam_loc = c2w[:3, 3][None]  # (1, 3)
+    rays_d = xyz_world[0] - cam_loc
+    rays_o = jnp.broadcast_to(cam_loc, rays_d.shape)
+
+    if ndc:
+        rays_o, rays_d = get_ndc_rays(rays_o, rays_d, W, H, intrinsic, ndc_near)
+    elif normalize_rays_d:
+        rays_d = normalize(rays_d)
+
+    rays_r = None
+    if flat_index is None and n_rays <= 0:
+        if wh_order:
+            dirs = rays_d.reshape(W, H, 3)
+            dx = jnp.sqrt(jnp.sum((dirs[:-1] - dirs[1:]) ** 2, -1))  # (W-1, H)
+            dx = jnp.concatenate([dx, dx[-2:-1]], axis=0)  # (W, H)
+        else:
+            dirs = rays_d.reshape(H, W, 3)
+            dx = jnp.sqrt(jnp.sum((dirs[:, :-1] - dirs[:, 1:]) ** 2, -1))
+            dx = jnp.concatenate([dx, dx[:, -2:-1]], axis=1)
+        rays_r = (dx[..., None] * 2.0 / jnp.sqrt(12.0)).reshape(-1, 1)
+
+    return rays_o, rays_d, flat_index, rays_r
+
+
+def get_ndc_rays(rays_o, rays_d, W, H, intrinsic, near=1.0):
+    """Shift rays to the near plane and project into NDC (llff-style)."""
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    f_x, f_y = intrinsic[0, 0], intrinsic[1, 1]
+    o0 = -1.0 / (W / (2.0 * f_x)) * rays_o[..., 0] / rays_o[..., 2]
+    o1 = -1.0 / (H / (2.0 * f_y)) * rays_o[..., 1] / rays_o[..., 2]
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+    d0 = -1.0 / (W / (2.0 * f_x)) * (rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2])
+    d1 = -1.0 / (H / (2.0 * f_y)) * (rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2])
+    d2 = -2.0 * near / rays_o[..., 2]
+    return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+
+
+def equal_sample(n_rays_w, n_rays_h, W, H):
+    """Evenly spaced (i, j) pixel index grid -> np(n_w*n_h, 2)."""
+    i, j = np.meshgrid(np.linspace(0, W - 1, n_rays_w), np.linspace(0, H - 1, n_rays_h))
+    return np.stack([i, j], axis=-1).reshape(-1, 2)
+
+
+def get_near_far_from_rays(rays_o, rays_d, bounds=None, near_hardcode=None, far_hardcode=None, bounding_radius=None):
+    """Near/far per ray: hardcode > bounds (optionally sphere-capped) >
+    bounding-sphere intersection. Returns near, far each (N_rays, 1)."""
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+
+    if near_hardcode is None or far_hardcode is None:
+        if bounds is None and bounding_radius is None:
+            raise NotImplementedError("must specify near/far source")
+        if bounds is None:
+            near, far, _, _ = sphere_ray_intersection(rays_o, rays_d, radius=float(bounding_radius))
+        else:
+            near, far = bounds[:, 0:1], bounds[:, 1:2]
+            if bounding_radius is not None:
+                _, far_bound, _, _ = sphere_ray_intersection(rays_o, rays_d, radius=float(bounding_radius))
+                far = jnp.minimum(far, far_bound)
+        if near_hardcode is not None:
+            near = jnp.full_like(near, near_hardcode)
+        if far_hardcode is not None:
+            far = jnp.full_like(far, far_hardcode)
+    else:
+        near = jnp.full((n_rays, 1), near_hardcode, dtype=dtype)
+        far = jnp.full((n_rays, 1), far_hardcode, dtype=dtype)
+
+    far = jnp.where(far <= near, near + 1e-5, far)
+    return near, far
+
+
+def get_zvals_from_near_far(near, far, n_pts, inclusive=True, inverse_linear=False, perturb=False, key=None):
+    """Stratified zvals in (near, far). near/far (N_rays, 1) -> (N_rays, n_pts)."""
+    if inclusive:
+        t = jnp.linspace(0.0, 1.0, n_pts, dtype=near.dtype)
+    else:
+        t = jnp.linspace(0.0, 1.0, n_pts + 2, dtype=near.dtype)[1:-1]
+    if inverse_linear:
+        zvals = 1.0 / (1.0 / (near + 1e-8) * (1.0 - t) + 1.0 / (far + 1e-8) * t)
+    else:
+        zvals = near + (far - near) * t
+    if perturb and key is not None:
+        zvals = perturb_interval(zvals, key)
+    return zvals
+
+
+def get_zvals_from_near_far_fix_step(near, far, fix_t, n_pts, inclusive=True, perturb=False, key=None):
+    """Constant-step zvals clamped at far; duplicated tail points masked out.
+
+    Returns zvals (N_rays, n_pts), mask_pts (N_rays, n_pts).
+    """
+    assert fix_t > 0
+    n_rays = near.shape[0]
+    start = near if inclusive else near + fix_t
+    step = jnp.arange(n_pts, dtype=near.dtype)[None]
+    zvals = jnp.clip(start + step * fix_t, near, far)
+
+    dup = jnp.concatenate(
+        [jnp.zeros((n_rays, 1), dtype=bool), (zvals[:, 1:] - zvals[:, :-1]) == 0.0], axis=1
+    )
+    mask_pts = ~dup
+
+    if key is not None:
+        zvals = perturb_interval_with_mask(zvals, key, mask_pts)
+    return zvals, mask_pts
+
+
+def get_zvals_outside_sphere(rays_o, rays_d, n_pts, radius, perturb=False, key=None):
+    """MSI-style background zvals: shells from radius to infinity.
+
+    Returns zvals (N_rays, n_pts), sphere_radius (n_pts,).
+    """
+    t = jnp.linspace(0.0, 1.0, n_pts + 2, dtype=rays_o.dtype)[1:-1]
+    sphere_radius = radius / jnp.flip(t, -1)
+    if perturb and key is not None:
+        sphere_radius = perturb_interval(sphere_radius[None], key)[0]
+    zvals = get_zvals_from_sphere_radius(rays_o, rays_d, sphere_radius)
+    return zvals, sphere_radius
+
+
+def get_zvals_from_sphere_radius(rays_o, rays_d, sphere_radius):
+    """Far intersections with concentric spheres. -> (N_rays, N)."""
+    _, zvals, _, _ = sphere_ray_intersection(rays_o, rays_d, sphere_radius)
+    return zvals
+
+
+def perturb_interval(vals, key):
+    """Jitter each sample uniformly within its interval. (B, N) -> (B, N)."""
+    mids = 0.5 * (vals[..., 1:] + vals[..., :-1])
+    upper = jnp.concatenate([mids, vals[..., -1:]], -1)
+    lower = jnp.concatenate([vals[..., :1], mids], -1)
+    rand = jax.random.uniform(key, upper.shape, dtype=vals.dtype)
+    return lower + (upper - lower) * rand
+
+
+def perturb_interval_with_mask(vals, key, mask=None):
+    """Perturb only valid samples; invalid tail keeps the last valid value."""
+    perturbed = perturb_interval(vals, key)
+    if mask is None:
+        return perturbed
+    vals = jnp.where(mask, perturbed, vals)
+    n_valid = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)
+    last_value = jnp.take_along_axis(vals, n_valid[:, None], axis=1)  # (B, 1)
+    return jnp.clip(vals, vals[:, 0:1], last_value)
+
+
+def sample_pdf(bins, weights, n_sample, det=False, eps=1e-5, key=None):
+    """Inverse-CDF importance sampling over weighted bins.
+
+    bins (B, n_pts), weights (B, n_pts-1) -> samples (B, n_sample), sorted.
+    """
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # (B, n_pts)
+    return sample_cdf(bins, cdf, n_sample, det, eps, key)
+
+
+def sample_cdf(bins, cdf, n_sample, det=False, eps=1e-5, key=None):
+    """Inverse-CDF sampling given the cdf (B, n_pts) over bins (B, n_pts)."""
+    n_pts = bins.shape[-1]
+    batch = cdf.shape[:-1]
+    if det or key is None:
+        u = jnp.linspace(0.0, 1.0, n_sample, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, batch + (n_sample,))
+    else:
+        u = jax.random.uniform(key, batch + (n_sample,), dtype=bins.dtype)
+
+    inds = jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(
+        jax.lax.stop_gradient(cdf), u
+    )  # (B, n_sample)
+    below = jnp.clip(inds - 1, 0, n_pts - 1)
+    above = jnp.clip(inds, 0, n_pts - 1)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, below, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)
+    t = (u - cdf_lo) / denom
+    samples = bin_lo + t * (bin_hi - bin_lo)
+    return jnp.sort(samples, -1)
+
+
+def alpha_to_weights(alpha):
+    """alpha (N_rays, N_p) -> trans_shift (accumulated transmittance T_i),
+    weights (T_i * alpha_i)."""
+    ones = jnp.ones_like(alpha[:, :1])
+    trans_shift = jnp.cumprod(jnp.concatenate([ones, 1.0 - alpha + 1e-10], -1), -1)[:, :-1]
+    return trans_shift, alpha * trans_shift
+
+
+def ray_marching(
+    sigma,
+    radiance,
+    zvals,
+    add_inf_z=False,
+    noise_std=0.0,
+    weights_only=False,
+    white_bkg=False,
+    alpha=None,
+    bkg_color=None,
+    key=None,
+):
+    """Alpha-composited volume integration along each ray.
+
+    alpha_i = 1 - exp(-relu(sigma_i)*delta_i); T_i = prod_{j<i}(1-alpha_j);
+    rgb = sum_i T_i alpha_i c_i. With ``add_inf_z`` a 1e10 tail delta keeps
+    all N_pts; otherwise the last point is dropped (N_pts-1).
+
+    Returns a dict: rgb (N_rays, 3 or None), depth (N_rays,), mask (N_rays,),
+    sigma/radiance/zvals/alpha/trans_shift/weights at the marching length.
+    """
+    n_rays = zvals.shape[0]
+    dtype = zvals.dtype
+    assert sigma is not None or alpha is not None
+
+    deltas = zvals[:, 1:] - zvals[:, :-1]
+    deltas = jnp.where(jnp.abs(deltas) < 1e-5, 0.0, deltas)
+
+    _sigma, _radiance, _zvals = sigma, radiance, zvals
+    if add_inf_z:
+        deltas = jnp.concatenate([deltas, jnp.full((n_rays, 1), 1e10, dtype=dtype)], -1)
+    elif alpha is None:
+        _sigma = sigma[:, :-1] if sigma is not None else None
+        _radiance = radiance[:, :-1, :] if radiance is not None else None
+        _zvals = zvals[:, :-1]
+
+    if alpha is None:
+        noise = 0.0
+        if noise_std > 0.0 and key is not None:
+            noise = jax.random.normal(key, _sigma.shape, dtype=dtype) * noise_std
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(_sigma + noise) * deltas)
+
+    trans_shift, weights = alpha_to_weights(alpha)
+
+    depth = jnp.sum(weights * _zvals, -1)
+    mask = jnp.sum(weights, -1)
+
+    rgb = None
+    if _radiance is not None:
+        rgb = jnp.sum(weights[..., None] * _radiance, -2)
+        if bkg_color is not None:
+            rgb = rgb + trans_shift[:, -1:] * bkg_color
+        elif white_bkg:
+            rgb = rgb + (1.0 - mask[:, None])
+
+    if weights_only:
+        return {"weights": weights}
+
+    return {
+        "rgb": rgb,
+        "depth": depth,
+        "mask": mask,
+        "sigma": _sigma,
+        "radiance": _radiance,
+        "zvals": _zvals,
+        "alpha": alpha,
+        "trans_shift": trans_shift,
+        "weights": weights,
+    }
+
+
+def sample_ray_marching_output_by_index(output, index=None, n_rays=1, sigma_scale=2.0):
+    """Pick rays from a marching output for 2d curve visualization (host-side)."""
+    total = np.asarray(output["zvals"]).shape[0]
+    n_pts = np.asarray(output["zvals"]).shape[1]
+    sample_index = list(np.random.default_rng(0).choice(total, n_rays, replace=False)) if index is None else index
+
+    out_list = []
+    for idx in sample_index:
+        res = {"points": [], "lines": [], "legends": []}
+        x = np.asarray(output["zvals"])[idx].tolist()
+        res["points"].append([x, [-1] * n_pts])
+        sigma = np.asarray(output["sigma"])[idx].copy()
+        s_max, s_min = float(sigma.max()), float(sigma.min())
+        if s_max > 0:
+            sigma[sigma > 0] = sigma[sigma > 0] / s_max * sigma_scale
+        if s_min < 0:
+            sigma[sigma < 0] = sigma[sigma < 0] / (abs(s_min) * 1.2)
+        res["lines"].append([x, sigma.tolist()])
+        res["legends"].append("sigma(max={:.1f})".format(s_max))
+        for k in ("alpha", "trans_shift", "weights"):
+            res["lines"].append([x, np.asarray(output[k])[idx].tolist()])
+            res["legends"].append(k)
+        out_list.append(res)
+    return out_list, sample_index
+
+
+def make_sample_rays(near=2.0, far=4.0, n_pts=32, v_max=2.0, v_min=-1.0, sdf=True):
+    """Synthetic sdf/sigma ray fixture (+ -> 0 -> - -> 0 -> +), used by the
+    NeuS/VolSDF sampling tests (reference ray_helper.py:681-750)."""
+    assert v_max > 0 > v_min and n_pts % 2 == 0
+    half = n_pts // 2
+    zvals = np.linspace(near, far, n_pts)[None]
+    vals = np.concatenate([np.linspace(v_max, v_min, half), np.linspace(v_min, v_max, half)])[None]
+    if not sdf:
+        vals = -vals
+    mid_zvals = 0.5 * (zvals[:, 1:] + zvals[:, :-1])
+    mid_vals = 0.5 * (vals[:, 1:] + vals[:, :-1])
+    mid_slope = (vals[:, 1:] - vals[:, :-1]) / (zvals[:, 1:] - zvals[:, :-1] + 1e-5)
+    return {
+        "zvals": zvals,
+        "zvals_list": zvals[0].tolist(),
+        "vals": vals,
+        "vals_list": vals[0].tolist(),
+        "mid_zvals": mid_zvals,
+        "mid_zvals_list": mid_zvals[0].tolist(),
+        "mid_vals": mid_vals,
+        "mid_vals_list": mid_vals[0].tolist(),
+        "mid_slope": mid_slope,
+        "mid_slope_list": mid_slope[0].tolist(),
+    }
+
+
+def handle_valid_mask_zvals(zvals, mask):
+    """Left-compact valid zvals per ray; invalid tail repeats the last valid
+    value. Stable sort keeps zvals ascending among the valid entries.
+
+    zvals/mask (N_rays, N_pts) -> new zvals/mask, same shapes.
+    """
+    assert zvals.ndim == 2 and zvals.shape == mask.shape
+    n_rays, n_pts = zvals.shape
+
+    # rays where every zval is identical AND all valid keep a single point
+    zdiff = zvals[:, 1:] - zvals[:, :-1]
+    keep_one = jnp.all(jnp.abs(zdiff) < 1e-7, axis=1) & jnp.all(mask, axis=1)
+    mask = jnp.where(keep_one[:, None], jnp.arange(n_pts)[None, :] == 0, mask)
+
+    order = jnp.argsort(~mask, axis=1, stable=True)  # valid entries first
+    zvals_sorted = jnp.take_along_axis(zvals, order, axis=1)
+    mask_sorted = jnp.take_along_axis(mask, order, axis=1)
+
+    n_valid = jnp.sum(mask, axis=1)
+    last_idx = jnp.maximum(n_valid - 1, 0)
+    last_val = jnp.take_along_axis(zvals_sorted, last_idx[:, None], axis=1)
+    zvals_out = jnp.where(mask_sorted, zvals_sorted, last_val)
+
+    all_invalid = n_valid == 0
+    zvals_out = jnp.where(all_invalid[:, None], 0.0, zvals_out)
+    return zvals_out, mask_sorted
