@@ -4,8 +4,20 @@ Mirrors /root/reference/arcnerf/models/base_modules/__init__.py (build_geo_model
 build_radiance_model:46) and encoding/__init__.py:26 (build_encoder).
 """
 
-from ...utils.cfgs import get_value_from_cfgs_field, obj_to_dict
+from collections.abc import Mapping
+
+from ...utils.cfgs import Obj, obj_to_dict
 from ...utils.registry import ENCODER_REGISTRY, GEO_MODEL_REGISTRY, RADIANCE_MODEL_REGISTRY
+
+
+def to_plain_dict(cfgs):
+    """Obj / (Frozen)dict tree -> plain nested dict (linen freezes dict
+    attributes, so configs may arrive as FrozenDict)."""
+    if isinstance(cfgs, Obj):
+        cfgs = obj_to_dict(cfgs)
+    if isinstance(cfgs, Mapping):
+        return {k: to_plain_dict(v) for k, v in cfgs.items()}
+    return cfgs
 
 from .encoding import (  # noqa: F401
     CompositeEmbedder,
@@ -19,25 +31,35 @@ from .encoding import (  # noqa: F401
 from .networks import GeoNet, RadianceNet, FusedMLPGeoNet, FusedMLPRadianceNet  # noqa: F401
 
 
+def _filter_kwargs(cls, kwargs):
+    """Keep only kwargs the module dataclass declares (configs may carry
+    extra annotation-style keys like ``backend``)."""
+    fields = set(getattr(cls, "__dataclass_fields__", {}).keys())
+    return {k: v for k, v in kwargs.items() if k in fields}
+
+
 def build_encoder(cfgs):
     """Encoder factory. Default FreqEmbedder(n_freqs=0) == identity
     (reference encoding/__init__.py:26-51)."""
     if cfgs is None:
         return FreqEmbedder(input_dim=3, n_freqs=0)
-    kwargs = obj_to_dict(cfgs)
+    kwargs = to_plain_dict(cfgs)
     enc_type = kwargs.pop("type", "FreqEmbedder")
-    return ENCODER_REGISTRY.get(enc_type)(**kwargs)
+    cls = ENCODER_REGISTRY.get(enc_type)
+    return cls(**_filter_kwargs(cls, kwargs))
 
 
 def build_geo_model(cfgs):
     """Geometry net factory (reference base_modules/__init__.py:28)."""
-    kwargs = obj_to_dict(cfgs)
+    kwargs = to_plain_dict(cfgs)
     net_type = kwargs.pop("type", "GeoNet")
-    return GEO_MODEL_REGISTRY.get(net_type)(**kwargs)
+    cls = GEO_MODEL_REGISTRY.get(net_type)
+    return cls(**_filter_kwargs(cls, kwargs))
 
 
 def build_radiance_model(cfgs):
     """Radiance net factory (reference base_modules/__init__.py:46)."""
-    kwargs = obj_to_dict(cfgs)
+    kwargs = to_plain_dict(cfgs)
     net_type = kwargs.pop("type", "RadianceNet")
-    return RADIANCE_MODEL_REGISTRY.get(net_type)(**kwargs)
+    cls = RADIANCE_MODEL_REGISTRY.get(net_type)
+    return cls(**_filter_kwargs(cls, kwargs))

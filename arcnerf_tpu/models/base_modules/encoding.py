@@ -71,13 +71,15 @@ class FreqEmbedder(nn.Module):
         return out[0] if len(out) == 1 else jnp.concatenate(out, axis=-1)
 
 
-class Gaussian(nn.Module):
+class Gaussian:
     """zvals + rays -> per-interval Gaussian (mean, diag cov) for MipNeRF.
 
     ``gaussian_fn``: 'cone' or 'cylinder' (reference gaussian_encoder.py:9-135).
+    Parameterless plain class (usable inside any linen method).
     """
 
-    gaussian_fn: str = "cone"
+    def __init__(self, gaussian_fn="cone"):
+        self.gaussian_fn = gaussian_fn
 
     def __call__(self, zvals, rays_o, rays_d, rays_r):
         """zvals (B, N+1), rays_o/d (B, 3), rays_r (B, 1) -> (B, N, 6)."""

@@ -1,0 +1,205 @@
+"""Foreground model with pluggable object bound.
+
+Capability parity with /root/reference/arcnerf/models/fg_model.py (forward
+:153-229, get_sigma_radiance_by_mask_pts :264-318,
+update_values_for_invalid_rays :320-387, merge_full_mask :389-406,
+optimize :408-410, surface_render :412-464).
+
+TPU-first differences:
+- no dynamic ray partitioning: all rays are evaluated with static shapes;
+  invalid rays get defaults via jnp.where (update_values_for_invalid_rays),
+- no dynamic-length point compaction: invalid points already repeat the last
+  valid zval (handle_valid_mask_zvals), so their marching deltas are 0 and
+  they contribute nothing; the per-point MLP runs the full static (B, n_pts)
+  grid. (The CUDA "compact + scatter-back" trick trades gather overhead for
+  fewer MLP FLOPs — on TPU, dense batches at static shape keep the MXU fed.)
+- dynamic batch size becomes a measured valid-point ratio reported in
+  output['n_valid_pts'] for the trainer's recompile-free ray-budget logic.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.ray import get_ray_points_by_zvals, surface_ray_intersection
+from ..geometry.transformation import normalize
+from ..utils.cfgs import get_value_from_cfgs_field
+from .base_3d_model import Base3dModel
+from .base_modules.obj_bound import build_obj_bound
+
+
+class FgModel(Base3dModel):
+    """Foreground model; subclasses implement _forward over valid zvals."""
+
+    # ------------------------------------------------------------ obj bound
+    def get_obj_bound(self):
+        bound, _ = build_obj_bound(self.cfgs.model)
+        return bound
+
+    def get_obj_bound_type(self):
+        _, bound_type = build_obj_bound(self.cfgs.model)
+        return bound_type
+
+    def init_bound_state(self):
+        return self.get_obj_bound().init_state()
+
+    def get_render_cfgs(self, key=None):
+        obj_bound = get_value_from_cfgs_field(self.cfgs.model, "obj_bound")
+        if obj_bound is None:
+            params = {"bkg_color": [1.0, 1.0, 1.0], "depth_far": 10.0, "normal": [0.0, 1.0, 0.0],
+                      "max_allowance": -1}
+        else:
+            params = {
+                "bkg_color": get_value_from_cfgs_field(obj_bound, "bkg_color", [0.0, 0.0, 0.0]),
+                "depth_far": get_value_from_cfgs_field(obj_bound, "depth_far", 10.0),
+                "normal": get_value_from_cfgs_field(obj_bound, "normal", [0.0, 1.0, 0.0]),
+                "max_allowance": get_value_from_cfgs_field(obj_bound, "log_max_allowance", -1),
+            }
+            if params["max_allowance"] > 0:
+                params["max_allowance"] = 1 << params["max_allowance"]
+        return params if key is None else params[key]
+
+    def get_n_coarse_sample(self):
+        return self.get_ray_cfgs("n_sample")
+
+    # ------------------------------------------------------------- sampling
+    def get_near_far_from_rays(self, inputs, bound_state=None):
+        bound = self.get_obj_bound()
+        return bound.get_near_far_from_rays(
+            bound_state or {},
+            inputs,
+            near_hardcode=self.get_ray_cfgs("near"),
+            far_hardcode=self.get_ray_cfgs("far"),
+            bounding_radius=self.get_ray_cfgs("bounding_radius"),
+        )
+
+    def get_zvals_from_near_far(self, near, far, n_pts, inference_only=False, rays_o=None, rays_d=None,
+                                bound_state=None):
+        bound = self.get_obj_bound()
+        return bound.get_zvals_from_near_far(
+            bound_state or {},
+            near,
+            far,
+            n_pts,
+            inference_only,
+            self.get_ray_cfgs("inverse_linear"),
+            self.get_ray_cfgs("perturb"),
+            key=self._sample_key(inference_only),
+            rays_o=rays_o,
+            rays_d=rays_d,
+        )
+
+    # -------------------------------------------------------------- forward
+    def __call__(self, inputs, inference_only=False, get_progress=False, cur_epoch=0, total_epoch=300000,
+                 bound_state=None):
+        rays_o, rays_d = inputs["rays_o"], inputs["rays_d"]
+        bkg_color = inputs.get("bkg_color", None)
+
+        near, far, mask_rays = self.get_near_far_from_rays(inputs, bound_state)
+        near = jax.lax.stop_gradient(near)
+        far = jax.lax.stop_gradient(far)
+        zvals, mask_pts = self.get_zvals_from_near_far(
+            near, far, self.get_n_coarse_sample(), inference_only, rays_o, rays_d, bound_state
+        )
+        zvals = jax.lax.stop_gradient(zvals)
+
+        inputs = dict(inputs)
+        inputs["zvals"] = zvals
+        inputs["mask_pts"] = mask_pts
+
+        if mask_pts is not None:
+            ray_has_pts = jnp.any(mask_pts, axis=1)
+            mask_rays = ray_has_pts if mask_rays is None else (mask_rays & ray_has_pts)
+
+        output = self._forward(inputs, inference_only, get_progress, cur_epoch, total_epoch)
+
+        if mask_rays is not None:
+            output = self.update_values_for_invalid_rays(output, mask_rays, bkg_color)
+        if mask_pts is not None:
+            output["n_valid_pts"] = jnp.sum(mask_pts)
+        return output
+
+    def _forward(self, inputs, inference_only=False, get_progress=False, cur_epoch=0, total_epoch=300000):
+        raise NotImplementedError("implement _forward in the concrete model")
+
+    def get_sigma_radiance_by_mask_pts(
+        self, geo_net, radiance_net, rays_o, rays_d, zvals, mask_pts=None, inference_only=False
+    ):
+        """Evaluate sigma/radiance at every (ray, sample) point.
+
+        Static-shape version of reference fg_model.py:264 — no compaction;
+        invalid points are still evaluated but their zvals duplicate the last
+        valid sample so ray marching assigns them zero weight.
+        """
+        n_rays, n_pts = zvals.shape
+        pts = get_ray_points_by_zvals(rays_o, rays_d, zvals).reshape(-1, 3)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, n_pts, 3)).reshape(-1, 3)
+        sigma, radiance = self._forward_pts_dir(geo_net, radiance_net, pts, dirs)
+        return sigma.reshape(n_rays, n_pts), radiance.reshape(n_rays, n_pts, 3)
+
+    # ----------------------------------------------------- invalid-ray fill
+    def update_values_for_invalid_rays(self, output_valid, mask, rand_bkg_color=None):
+        """Fill defaults on rays that miss the bound (reference
+        fg_model.py:320-387), via jnp.where on static shapes."""
+        render_cfgs = self.get_render_cfgs()
+        output = {}
+        for k, v in output_valid.items():
+            if not isinstance(v, jnp.ndarray):
+                output[k] = v
+                continue
+            m = mask.reshape((mask.shape[0],) + (1,) * (v.ndim - 1))
+            if k.startswith("rgb"):
+                if rand_bkg_color is not None:
+                    fill = jnp.broadcast_to(rand_bkg_color, v.shape)
+                else:
+                    fill = jnp.broadcast_to(jnp.asarray(render_cfgs["bkg_color"], dtype=v.dtype), v.shape)
+                output[k] = jnp.where(m, v, fill)
+            elif k.startswith("depth"):
+                output[k] = jnp.where(m, v, render_cfgs["depth_far"])
+            elif k.startswith("mask"):
+                output[k] = jnp.where(m, v, 0.0)
+            elif k.startswith("normal"):
+                fill = normalize(jnp.asarray(render_cfgs["normal"], dtype=v.dtype))
+                output[k] = jnp.where(m, v, jnp.broadcast_to(fill, v.shape))
+            elif k.startswith("progress"):
+                if "sigma" in k and self.sigma_reverse():
+                    output[k] = jnp.where(m, v, -1.0)
+                elif "trans_shift" in k:
+                    output[k] = jnp.where(m, v, 1.0)
+                else:
+                    output[k] = jnp.where(m, v, 0.0)
+            else:
+                output[k] = v
+        return output
+
+    @staticmethod
+    def merge_full_mask(mask_pts, zvals_new):
+        """Extend mask with all-valid new samples, keeping valid-first order
+        (reference fg_model.py:389-406)."""
+        if mask_pts is None:
+            return None
+        merged = jnp.concatenate([mask_pts, jnp.ones_like(zvals_new, dtype=bool)], axis=-1)
+        return jnp.flip(jnp.sort(merged, axis=-1), axis=-1)
+
+    # -------------------------------------------------------- surface render
+    def surface_render(
+        self, inputs, bound_state=None, method="sphere_tracing", n_step=128, n_iter=100, threshold=0.01,
+        level=50.0, grad_dir="descent"
+    ):
+        """Surface render with invalid-ray fill (reference fg_model.py:412)."""
+        rays_o, rays_d = inputs["rays_o"], inputs["rays_d"]
+        n_rays = rays_o.shape[0]
+        near, far, valid_rays = self.get_near_far_from_rays(inputs, bound_state)
+        geo_net, radiance_net = self.get_net()
+
+        geo_fn = lambda pts: geo_net(pts)[0][..., 0]  # noqa: E731
+        zvals, pts, mask = surface_ray_intersection(
+            rays_o, rays_d, geo_fn, method, near, far, n_step, n_iter, threshold, level, grad_dir
+        )
+        if valid_rays is not None:
+            mask = mask & valid_rays
+        _, rgb_pts = self._forward_pts_dir(geo_net, radiance_net, pts, rays_d)
+        rgb = jnp.where(mask[:, None], rgb_pts, jnp.ones((n_rays, 3)))
+        return {"rgb": rgb, "depth": zvals[:, 0], "mask": mask.astype(rays_o.dtype)}
