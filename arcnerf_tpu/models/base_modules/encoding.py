@@ -303,34 +303,47 @@ class HashGridEmbedder(nn.Module):
         res = self._resolutions()  # (L,) static
         dense_ok = (res.astype(np.int64) + 1) ** 3 <= T  # (L,) static bools
         mn, mx = self._aabb()
+        B = xyz.shape[0]
 
+        # TPU layout note: keep the huge point dim B minor-most everywhere.
+        # A (B, L, 8, F) gather pads its tiny trailing dims to the (8, 128)
+        # tile — a 16-64x HBM blowup. With B last, every tensor tiles clean.
         norm = (xyz - jnp.asarray(mn)) / jnp.asarray(mx - mn)  # (B, 3) in [0,1]
         res_j = jnp.asarray(res, dtype=xyz.dtype)  # (L,)
-        pos = norm[:, None, :] * res_j[None, :, None]  # (B, L, 3)
+        pos = norm.T[None, :, :] * res_j[:, None, None]  # (L, 3, B)
         idx0 = jnp.floor(pos).astype(jnp.int32)
-        idx0 = jnp.clip(idx0, 0, jnp.asarray(res, dtype=jnp.int32)[None, :, None] - 1)
-        frac = pos - idx0.astype(pos.dtype)  # (B, L, 3)
+        idx0 = jnp.clip(idx0, 0, jnp.asarray(res, dtype=jnp.int32)[:, None, None] - 1)
+        frac = pos - idx0.astype(pos.dtype)  # (L, 3, B)
 
-        corners = idx0[:, :, None, :] + jnp.asarray(_CORNER_OFFSETS)[None, None]  # (B, L, 8, 3)
+        off = jnp.asarray(_CORNER_OFFSETS)  # (8, 3)
+        corners = idx0[:, None, :, :] + off[None, :, :, None]  # (L, 8, 3, B)
 
         # dense flat index on the (r+1)^3 lattice
-        n1 = jnp.asarray(res + 1, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
-        dense_idx = (corners[..., 0] * n1 + corners[..., 1]) * n1 + corners[..., 2]  # (B, L, 8)
-        hash_idx = fast_hash(corners, T)  # (B, L, 8)
-        use_dense = jnp.asarray(dense_ok)[None, :, None]
-        entry_idx = jnp.where(use_dense, dense_idx % T, hash_idx)  # (B, L, 8)
+        n1 = jnp.asarray(res + 1, dtype=jnp.int32)[:, None, None]  # (L, 1, 1)
+        dense_idx = (corners[:, :, 0] * n1 + corners[:, :, 1]) * n1 + corners[:, :, 2]  # (L, 8, B)
+        u = corners.astype(jnp.uint32)
+        hash_idx = (
+            (u[:, :, 0] * jnp.uint32(_HASH_PRIMES[0]))
+            ^ (u[:, :, 1] * jnp.uint32(_HASH_PRIMES[1]))
+            ^ (u[:, :, 2] * jnp.uint32(_HASH_PRIMES[2]))
+        ) & jnp.uint32(T - 1)
+        use_dense = jnp.asarray(dense_ok)[:, None, None]
+        entry_idx = jnp.where(use_dense, dense_idx % T, hash_idx.astype(jnp.int32))  # (L, 8, B)
 
-        # gather: one take along the table axis per level, vectorized
-        level_ids = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :, None], entry_idx.shape)
-        feats = table[level_ids, entry_idx]  # (B, L, 8, F)
+        # global flat index across levels, then one gather with F leading
+        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None, None]
+        flat_idx = (entry_idx + level_off).reshape(-1)  # (L*8*B,)
+        table_t = table.reshape(L * T, F).T  # (F, L*T)
+        feats = jnp.take(table_t, flat_idx, axis=1).reshape(F, L, 8, B)
 
         # trilinear weights in the same corner order
-        off = jnp.asarray(_CORNER_OFFSETS, dtype=pos.dtype)  # (8, 3)
+        offf = off.astype(pos.dtype)  # (8, 3)
         w = jnp.prod(
-            off[None, None] * frac[:, :, None, :] + (1.0 - off[None, None]) * (1.0 - frac[:, :, None, :]), axis=-1
-        )  # (B, L, 8)
-        embed = jnp.sum(feats * w[..., None], axis=2)  # (B, L, F)
-        embed = embed.reshape(xyz.shape[0], L * F).astype(xyz.dtype)
+            offf[None, :, :, None] * frac[:, None, :, :] + (1.0 - offf[None, :, :, None]) * (1.0 - frac[:, None, :, :]),
+            axis=2,
+        )  # (L, 8, B)
+        embed = jnp.sum(feats * w[None], axis=2)  # (F, L, B)
+        embed = embed.transpose(2, 1, 0).reshape(B, L * F).astype(xyz.dtype)
 
         if self.include_input:
             return jnp.concatenate([xyz, embed], axis=-1)

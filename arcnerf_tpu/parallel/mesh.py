@@ -1,0 +1,51 @@
+"""Device mesh + data-parallel sharding.
+
+TPU-native replacement for the reference's distributed stack
+(common/trainer/basic_trainer.py:73-111 init_process_group(nccl|mpi),
+DistributedSampler, DDP grad all-reduce): a 1-axis ``data`` mesh over all
+devices; ray batches sharded on the batch dim; parameters replicated; the
+gradient all-reduce is inserted by XLA (GSPMD) over ICI when the jitted
+step consumes sharded batches with replicated params — no explicit
+collectives needed. Multi-host pods: call ``jax.distributed.initialize``
+before building the mesh; XLA routes DCN transparently.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(cfgs=None):
+    """Initialize multi-process jax if env indicates a multi-host run
+    (replaces MASTER_ADDR/SLURM rendezvous logic, basic_trainer.py:73-87)."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def get_mesh(n_devices=None, axis_name="data"):
+    """1-D data mesh over the first n_devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(batch, mesh, axis_name="data"):
+    """Place every leading-axis array of a batch dict across the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.devices.size == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh):
+    """Replicate a pytree (params/opt state) on every mesh device."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -7,13 +7,32 @@ Intrinsic/pose live as numpy (host-side dataset prep); ray generation and
 projection run in jnp.
 """
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry.poses import invert_poses
 from ..geometry.projection import world_to_cam, world_to_pixel
 from .ray_helper import get_rays
+
+
+@functools.lru_cache(maxsize=64)
+def _full_image_rays_jit(W, H, wh_order, ndc, center_pixel, normalize_rays_d):
+    """Jitted full-image ray generation, cached per static config. Keeps
+    dataset preparation fast even when eager dispatch is expensive (e.g.
+    through a remote-TPU tunnel)."""
+
+    @jax.jit
+    def fn(intrinsic, c2w):
+        return get_rays(
+            W, H, intrinsic, c2w, wh_order=wh_order, ndc=ndc,
+            center_pixel=center_pixel, normalize_rays_d=normalize_rays_d,
+        )
+
+    return fn
 
 
 class PerspectiveCamera:
@@ -80,6 +99,9 @@ class PerspectiveCamera:
     def get_rays(self, wh_order=True, index=None, n_rays=-1, key=None, ndc=False, center_pixel=False,
                  normalize_rays_d=True):
         """Rays in world coords; see render.ray_helper.get_rays."""
+        if index is None and n_rays <= 0:
+            fn = _full_image_rays_jit(self.W, self.H, wh_order, ndc, center_pixel, normalize_rays_d)
+            return fn(self.get_intrinsic(), self.get_pose())
         return get_rays(
             self.W,
             self.H,

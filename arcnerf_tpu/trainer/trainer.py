@@ -1,0 +1,374 @@
+"""ArcNerfTrainer: the NeRF training loop, TPU-native.
+
+Capability parity with /root/reference/common/trainer/basic_trainer.py:22 +
+/root/reference/arcnerf/trainer/arcnerf_trainer.py:31:
+- dirs/logger/monitor/seed setup, config backup + job.sh replication,
+- concat ALL rays of ALL train images once (concat_train_batch:188) into
+  device arrays; Pipeline schedules per-step ray batches (precrop,
+  full/random, dynamic batch size, random bkg color),
+- one optimizer step per "epoch" (arcnerf_trainer.py:496 convention),
+- obj-bound occupancy optimize every epoch_optim steps
+  (model.optimize path, full_model.py:526),
+- EMA, grad clipping, lr schedule, periodic valid/eval/checkpoint,
+  KeyboardInterrupt latest-save, time-based latest-save, resume.
+
+TPU-first architecture: TrainState is a pure pytree {params, opt_state,
+bound_state, ema, step}; train_step is one jitted function; the ray batch
+is sharded over a 1-axis device mesh ('data') so XLA all-reduces gradients
+over ICI; occupancy updates are separate jitted pure functions called on
+the epoch_optim cadence; evaluation renders images through a jitted chunk
+renderer.
+"""
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..datasets import get_dataset, get_model_feed_in
+from ..datasets.transforms import get_transforms
+from ..losses import build_loss
+from ..metrics import AverageDictCounter, build_metric, psnr
+from ..models import build_model
+from ..parallel.mesh import get_mesh, init_distributed, replicate, shard_batch
+from ..utils.cfgs import dump_configs, get_value_from_cfgs_field, obj_to_dict, valid_key_in_cfgs
+from ..utils.logger import Logger, Monitor, is_master
+from ..utils.model_io import load_model, save_model
+from .ema import ema_init, ema_update
+from .optimizer import build_optimizer
+from .pipeline import Pipeline
+
+
+class ArcNerfTrainer:
+
+    def __init__(self, cfgs):
+        self.cfgs = cfgs
+        init_distributed(cfgs)
+
+        # dirs + logging
+        expr_dir = get_value_from_cfgs_field(cfgs.dir, "expr_dir", None) if hasattr(cfgs, "dir") else None
+        name = get_value_from_cfgs_field(cfgs, "name", "expr")
+        self.expr_dir = expr_dir or os.path.join("experiments", name)
+        self.ckpt_dir = os.path.join(self.expr_dir, "checkpoints")
+        self.progress_dir = os.path.join(self.expr_dir, "progress")
+        if is_master():
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            os.makedirs(self.progress_dir, exist_ok=True)
+            dump_configs(cfgs, os.path.join(self.expr_dir, "cfgs.yaml"))
+        self.logger = Logger(os.path.join(self.expr_dir, "train.log"))
+        self.monitor = Monitor(os.path.join(self.expr_dir, "tb"))
+
+        seed = get_value_from_cfgs_field(cfgs.dist, "random_seed", None) if hasattr(cfgs, "dist") else None
+        self.seed = int(seed) if seed is not None else 0
+        self.key = jax.random.PRNGKey(self.seed)
+
+        # mesh: 1-axis data parallel over all local devices
+        self.mesh = get_mesh()
+        self.logger.add_log("Mesh: {} devices on axis 'data'".format(self.mesh.devices.size))
+
+        # model/loss/metric
+        self.model = build_model(cfgs, self.logger)
+        self.loss_factory = build_loss(cfgs, self.logger)
+        self.metric_factory = build_metric(cfgs, self.logger) if valid_key_in_cfgs(cfgs, "metric") else None
+
+        # data
+        self.data = self.prepare_data()
+
+        # training params
+        self.total_epoch = int(get_value_from_cfgs_field(cfgs.progress, "epoch", 100000))
+        self.n_rays = int(get_value_from_cfgs_field(cfgs, "n_rays", 4096))
+
+        # state init
+        self.tx, self.lr_schedule = build_optimizer(cfgs.optim)
+        self.ema_decay = get_value_from_cfgs_field(cfgs.optim, "ema_decay", None)
+        self.state = self.init_state()
+        self.start_epoch = 0
+
+        # resume
+        resume = get_value_from_cfgs_field(cfgs, "resume", None)
+        if resume and resume != "None" and os.path.exists(str(resume)):
+            start_cfg = int(get_value_from_cfgs_field(cfgs.progress, "start_epoch", -1))
+            self.state, step = load_model(str(resume), self.state, restore_optimizer=start_cfg < 0,
+                                          logger=self.logger)
+            self.start_epoch = step if start_cfg < 0 else 0
+
+        # occupancy optimize cadence
+        fg_bound = self.model.fg_model.get_obj_bound()
+        self.epoch_optim = fg_bound.get_optim_cfgs("epoch_optim")
+        self.epoch_optim_warmup = fg_bound.get_optim_cfgs("epoch_optim_warmup")
+        self.n_coarse = None
+        try:
+            self.n_coarse = self.model.fg_model.get_n_coarse_sample()
+        except Exception:
+            self.n_coarse = 128
+        self.log_max_allowance = self.model.fg_model.get_render_cfgs("max_allowance")
+        if self.log_max_allowance and self.log_max_allowance > 0:
+            import math
+
+            self.log_max_allowance = int(math.log2(self.log_max_allowance))
+
+        # jitted functions (per-batch-shape cache handled by jax)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._render_chunk = jax.jit(self._render_chunk_impl)
+        self._optimize_warmup = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, True))
+        self._optimize_regular = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, False))
+
+        self._last_save_time = time.time()
+
+    # ----------------------------------------------------------------- data
+    def prepare_data(self):
+        data = {}
+        transforms = get_transforms(self.cfgs.dataset.train) if valid_key_in_cfgs(self.cfgs, "dataset") else None
+        data_dir = get_value_from_cfgs_field(self.cfgs.dir, "data_dir", "data") if hasattr(self.cfgs, "dir") else "data"
+        train_set = get_dataset(self.cfgs.dataset, data_dir, "train", transforms, self.logger)
+        data["train"] = train_set
+
+        # pipeline over all concatenated rays
+        sched = get_value_from_cfgs_field(self.cfgs.dataset.train, "scheduler", None)
+        self.pipeline = Pipeline(sched, int(get_value_from_cfgs_field(self.cfgs, "n_rays", 4096)),
+                                 train_set.get_wh() if hasattr(train_set, "get_wh") else (train_set.W, train_set.H),
+                                 seed=0)
+        samples = [train_set[i] for i in range(len(train_set))]
+        self.pipeline.process_train_data(samples)
+        self.logger.add_log("Train pool: {} rays".format(self.pipeline.n_total_rays))
+
+        for mode in ("val", "eval"):
+            if valid_key_in_cfgs(self.cfgs.dataset, mode):
+                try:
+                    data[mode] = get_dataset(self.cfgs.dataset, data_dir, mode, None, self.logger)
+                except Exception as e:  # dataset missing on disk is non-fatal
+                    self.logger.warn("could not load {} dataset: {}".format(mode, e))
+        return data
+
+    # ---------------------------------------------------------------- state
+    def init_state(self):
+        bound_state = self.model.init_bound_state()
+        sample = self.pipeline.get_train_batch(0)
+        feed_in, _ = get_model_feed_in(sample)
+        # init runs eagerly (unfused) — use a tiny ray batch; param shapes
+        # do not depend on batch size
+        tiny = {k: v[:, :2] for k, v in feed_in.items()}
+        variables = jax.jit(
+            lambda rngs, feed: self.model.init(rngs, feed, inference_only=True, bound_state=bound_state)
+        )({"params": jax.random.PRNGKey(self.seed), "sampling": jax.random.PRNGKey(self.seed + 1)}, tiny)
+        params = variables["params"]
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        self.logger.add_log("Model params: {:.2f}M".format(n_params / 1e6))
+        state = {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "bound_state": bound_state,
+            "step": jnp.zeros((), dtype=jnp.int32),
+        }
+        if self.ema_decay:
+            state["ema"] = ema_init(params)
+        state = replicate(state, self.mesh)
+        return state
+
+    # ------------------------------------------------------------ train step
+    def _train_step_impl(self, state, feed_in, key, cur_epoch):
+        def loss_fn(params):
+            out = self.model.apply(
+                {"params": params},
+                feed_in,
+                inference_only=False,
+                get_progress=False,
+                cur_epoch=cur_epoch,
+                bound_state=state["bound_state"],
+                rngs={"sampling": key},
+            )
+            loss_dict = self.loss_factory(feed_in, out)
+            return loss_dict["sum"], (loss_dict, out)
+
+        (loss, (loss_dict, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, opt_state = self.tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+
+        new_state = dict(state)
+        new_state["params"] = params
+        new_state["opt_state"] = opt_state
+        new_state["step"] = state["step"] + 1
+        if "ema" in state:
+            new_state["ema"] = ema_update(state["ema"], params, new_state["step"], self.ema_decay)
+
+        stats = {"loss": loss}
+        for k, v in loss_dict.items():
+            if k not in ("names", "sum"):
+                stats["loss/{}".format(k)] = v
+        # train psnr on whichever rgb key exists
+        for k in ("rgb_fine", "rgb", "rgb_coarse"):
+            if k in out and out[k] is not None:
+                stats["psnr"] = psnr(out[k], feed_in["img"])
+                break
+        if "n_valid_pts" in out:
+            stats["n_valid_pts"] = out["n_valid_pts"]
+        if "params" in out:
+            for k, v in out["params"].items():
+                stats["param/{}".format(k)] = v
+        return new_state, stats
+
+    # -------------------------------------------------------- occupancy step
+    def _optimize_impl(self, params, bound_state, key, warmup):
+        cur_epoch = 0 if warmup else 10**9  # only feeds the warmup branch
+
+        new_state = dict(bound_state)
+        fg_bound = self.model.fg_model.get_obj_bound()
+        if bound_state.get("fg"):
+            def fg_opacity(dt, pts):
+                return self.model.apply({"params": params}, dt, pts, method="get_est_opacity")
+
+            k1, key = jax.random.split(key)
+            new_state["fg"] = fg_bound.optimize(
+                bound_state["fg"], cur_epoch, self.n_coarse, fg_opacity, k1
+            )
+        if bound_state.get("bkg") and hasattr(self.model.bkg_model, "optimize_state"):
+            def bkg_opacity(dt, pts):
+                return self.model.apply(
+                    {"params": params}, dt, pts,
+                    method=lambda m, d, p: m.bkg_model.get_est_opacity(d, p),
+                )
+
+            k2, key = jax.random.split(key)
+            new_state["bkg"] = self.model.bkg_model.optimize_state(
+                bound_state["bkg"], cur_epoch, bkg_opacity, k2
+            )
+        return new_state
+
+    def run_optimize(self, cur_epoch):
+        if not self.epoch_optim or cur_epoch <= 0 or cur_epoch % self.epoch_optim != 0:
+            return
+        has_state = bool(jax.tree_util.tree_leaves(self.state["bound_state"]))
+        if not has_state:
+            return
+        self.key, sub = jax.random.split(self.key)
+        warmup = self.epoch_optim_warmup is not None and cur_epoch < self.epoch_optim_warmup
+        fn = self._optimize_warmup if warmup else self._optimize_regular
+        self.state["bound_state"] = fn(self.state["params"], self.state["bound_state"], sub)
+
+    # -------------------------------------------------------------- renderer
+    def _render_chunk_impl(self, params, bound_state, feed_in):
+        return self.model.apply(
+            {"params": params}, feed_in, inference_only=True, bound_state=bound_state
+        )
+
+    def render_image(self, sample, chunk_rays=8192):
+        """Render a full image by chunking rays; returns dict of (H, W, ...)."""
+        h, w = int(sample["H"]), int(sample["W"])
+        n = sample["rays_o"].shape[0]
+        outs = []
+        for s in range(0, n, chunk_rays):
+            e = min(s + chunk_rays, n)
+            chunk = {}
+            for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+                if k in sample and sample[k] is not None:
+                    piece = sample[k][s:e]
+                    if piece.shape[0] < chunk_rays:  # pad for static shape
+                        pad = chunk_rays - piece.shape[0]
+                        piece = np.concatenate([piece, np.repeat(piece[-1:], pad, axis=0)], axis=0)
+                    chunk[k] = jnp.asarray(piece)[None]
+            out = self._render_chunk(self.state["params"], self.state["bound_state"], chunk)
+            outs.append({k: np.asarray(v[0])[: e - s] for k, v in out.items()
+                         if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] == chunk_rays})
+        merged = {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+        imgs = {}
+        for k, v in merged.items():
+            imgs[k] = v.reshape(h, w, *v.shape[1:])
+        return imgs
+
+    # ------------------------------------------------------------- main loop
+    def train(self):
+        self.logger.add_log("Start training: {} epochs (1 step/epoch)".format(self.total_epoch))
+        epoch_loss = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_loss", 100))
+        epoch_val = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_val", -1))
+        epoch_eval = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_eval", -1))
+        epoch_save = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_save_checkpoint", 100000))
+        save_time = float(get_value_from_cfgs_field(self.cfgs.progress, "save_time", 1800))
+
+        t_start = time.time()
+        t_window = time.time()
+        try:
+            for epoch in range(self.start_epoch, self.total_epoch):
+                self.run_optimize(epoch)
+
+                if self.log_max_allowance:
+                    self.pipeline.update_dynamic_bs(epoch, self.log_max_allowance)
+
+                batch = self.pipeline.get_train_batch(epoch)
+                feed_in, _ = get_model_feed_in(batch)
+                feed_in = shard_batch(feed_in, self.mesh)
+                self.key, sub = jax.random.split(self.key)
+                self.state, stats = self._train_step(self.state, feed_in, sub, epoch)
+
+                if "n_valid_pts" in stats and self.log_max_allowance:
+                    self.pipeline.record_valid_pts(float(stats["n_valid_pts"]), self.n_coarse)
+
+                if (epoch + 1) % epoch_loss == 0:
+                    jax.block_until_ready(stats["loss"])
+                    dt = time.time() - t_window
+                    t_window = time.time()
+                    msg = "epoch {:6d} | loss {:.5f} | psnr {:.2f} | {:.3f} s/iter | rays {}".format(
+                        epoch + 1, float(stats["loss"]), float(stats.get("psnr", 0.0)),
+                        dt / epoch_loss, self.pipeline.n_rays)
+                    self.logger.add_log(msg)
+                    for k, v in stats.items():
+                        self.monitor.add_scalar("train/{}".format(k), float(v), epoch + 1)
+                    self.monitor.add_scalar("train/lr", float(self.lr_schedule(epoch + 1))
+                                            if callable(self.lr_schedule) else self.lr_schedule, epoch + 1)
+
+                if epoch_val > 0 and (epoch + 1) % epoch_val == 0 and "val" in self.data:
+                    self.valid_epoch(epoch + 1)
+                if epoch_eval > 0 and (epoch + 1) % epoch_eval == 0 and "eval" in self.data:
+                    self.eval_epoch(epoch + 1)
+                if is_master() and (epoch + 1) % epoch_save == 0:
+                    save_model(self.ckpt_dir, self.state, epoch + 1, self.logger)
+                if is_master() and time.time() - self._last_save_time > save_time:
+                    save_model(self.ckpt_dir, self.state, epoch + 1, self.logger, keep_name="latest")
+                    self._last_save_time = time.time()
+        except KeyboardInterrupt:
+            if is_master():
+                save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="latest")
+            self.logger.add_log("Interrupted; saved latest at epoch {}".format(epoch))
+            raise
+
+        if is_master():
+            save_model(self.ckpt_dir, self.state, self.total_epoch, self.logger, keep_name="final")
+        self.logger.add_log("Training done in {:.1f} min".format((time.time() - t_start) / 60.0))
+        return self.state
+
+    # ----------------------------------------------------------- evaluation
+    def valid_epoch(self, epoch, mode="val"):
+        dataset = self.data[mode]
+        counter = AverageDictCounter()
+        max_samples = int(get_value_from_cfgs_field(self.cfgs.progress, "max_samples_val", 1))
+        for i in range(min(len(dataset), max_samples)):
+            sample = dataset[i]
+            imgs = self.render_image(sample)
+            gt = sample["img"].reshape(imgs["rgb"].shape)
+            val_psnr = float(psnr(jnp.asarray(imgs["rgb"]), jnp.asarray(gt)))
+            counter({"psnr": val_psnr})
+            if is_master():
+                self._write_progress_img(imgs, gt, "{}_ep{}_{}".format(mode, epoch, i))
+        summary = counter.get_avg_summary()
+        self.logger.add_log("[{}] epoch {} | {}".format(mode, epoch, counter.get_metric_info()))
+        for k, v in summary.items():
+            self.monitor.add_scalar("{}/{}".format(mode, k), v, epoch)
+        return summary
+
+    def eval_epoch(self, epoch):
+        return self.valid_epoch(epoch, mode="eval")
+
+    def _write_progress_img(self, imgs, gt, name):
+        try:
+            import cv2
+
+            pred = (np.clip(imgs["rgb"], 0, 1) * 255).astype(np.uint8)
+            gtc = (np.clip(gt, 0, 1) * 255).astype(np.uint8)
+            panel = np.concatenate([gtc, pred], axis=1)
+            cv2.imwrite(os.path.join(self.progress_dir, name + ".png"), panel[..., ::-1])
+            self.monitor.add_img(name, panel, 0)
+        except Exception as e:
+            self.logger.warn("progress img write failed: {}".format(e))

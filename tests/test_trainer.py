@@ -1,0 +1,175 @@
+"""Trainer-stack tests: pipeline scheduling, optimizer factories,
+checkpoint IO, and a micro end-to-end training run (loss down, PSNR up)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from arcnerf_tpu.trainer.ema import ema_debiased, ema_init, ema_update
+from arcnerf_tpu.trainer.optimizer import build_lr_schedule, build_optimizer
+from arcnerf_tpu.trainer.pipeline import Pipeline
+from arcnerf_tpu.utils.cfgs import dict_to_obj
+from arcnerf_tpu.utils.model_io import load_model, save_model
+
+
+class TestPipeline:
+
+    def _samples(self, n_img=3, h=8, w=8):
+        rng = np.random.default_rng(0)
+        return [
+            {
+                "img": rng.random((h * w, 3)).astype(np.float32),
+                "mask": (rng.random((h * w,)) > 0.5).astype(np.float32),
+                "rays_o": rng.random((h * w, 3)).astype(np.float32),
+                "rays_d": rng.random((h * w, 3)).astype(np.float32),
+                "rays_r": rng.random((h * w, 1)).astype(np.float32),
+            }
+            for _ in range(n_img)
+        ]
+
+    def test_concat_and_sample(self):
+        pipe = Pipeline(None, n_rays=32, wh=(8, 8))
+        pipe.process_train_data(self._samples())
+        assert pipe.n_total_rays == 3 * 64
+        batch = pipe.get_train_batch(0)
+        assert batch["rays_o"].shape == (1, 32, 3)
+        assert batch["img"].shape == (1, 32, 3)
+
+    def test_full_mode_covers_all(self):
+        cfgs = dict_to_obj({"ray_sample": {"mode": "full"}})
+        pipe = Pipeline(cfgs, n_rays=64, wh=(8, 8))
+        pipe.process_train_data(self._samples())
+        seen = set()
+        for e in range(3):
+            batch = pipe.get_train_batch(e)
+            seen.update(map(tuple, batch["rays_o"][0].tolist()))
+        assert len(seen) == 192  # permutation walk visits everything once
+
+    def test_precrop(self):
+        cfgs = dict_to_obj({"precrop": {"ratio": 0.5, "max_epoch": 10}})
+        pipe = Pipeline(cfgs, n_rays=16, wh=(8, 8))
+        pipe.process_train_data(self._samples())
+        assert pipe.precrop_data is not None
+        assert pipe.precrop_data["rays_o"].shape[0] == 3 * 16  # center 4x4 per image
+
+    def test_random_bkg_color(self):
+        cfgs = dict_to_obj({"bkg_color": {"color": "random"}})
+        pipe = Pipeline(cfgs, n_rays=16, wh=(8, 8))
+        pipe.process_train_data(self._samples())
+        batch = pipe.get_train_batch(0)
+        assert "bkg_color" in batch and batch["bkg_color"].shape == (1, 16, 3)
+
+    def test_dynamic_bs(self):
+        cfgs = dict_to_obj({"dynamic_batch_size": {"update_epoch": 2, "max_batch_size": 32768}})
+        pipe = Pipeline(cfgs, n_rays=1024, wh=(8, 8))
+        pipe.process_train_data(self._samples())
+        # simulate: each ray only has ~8 valid pts -> budget 2^16 needs ~8192 rays
+        pipe.record_valid_pts(1024 * 8, 64)
+        new_bs = pipe.update_dynamic_bs(2, 16)
+        assert new_bs == 8192
+
+
+class TestOptim:
+
+    def test_schedules(self):
+        cfgs = dict_to_obj({
+            "lr": 1e-2,
+            "lr_scheduler": {"type": "MultiStepLR", "lr_gamma": 0.5, "lr_steps": [100, 200]},
+        })
+        sched = build_lr_schedule(cfgs)
+        assert abs(float(sched(0)) - 1e-2) < 1e-9
+        assert abs(float(sched(150)) - 5e-3) < 1e-9
+        assert abs(float(sched(250)) - 2.5e-3) < 1e-9
+
+    def test_exponential(self):
+        cfgs = dict_to_obj({"lr": 1e-2, "lr_scheduler": {"type": "ExponentialLR", "lr_gamma": 0.1,
+                                                         "lr_steps": [1000]}})
+        sched = build_lr_schedule(cfgs)
+        assert abs(float(sched(1000)) - 1e-3) < 1e-9
+
+    def test_optimizer_step(self):
+        cfgs = dict_to_obj({"lr": 0.1, "optim_type": "adam", "eps": 1e-15, "clip_gradients": 1.0})
+        tx, _ = build_optimizer(cfgs)
+        params = {"w": jnp.ones(4)}
+        state = tx.init(params)
+        grads = {"w": jnp.full(4, 100.0)}  # should be clipped
+        import optax
+
+        updates, state = tx.update(grads, state, params)
+        new_params = optax.apply_updates(params, updates)
+        assert np.all(np.isfinite(np.asarray(new_params["w"])))
+        assert float(new_params["w"][0]) < 1.0
+
+
+def test_ema():
+    params = {"w": jnp.ones(3)}
+    shadow = ema_init(params)
+    shadow = ema_update(shadow, params, 1, decay=0.9)
+    np.testing.assert_allclose(np.asarray(shadow["w"]), 0.1, atol=1e-6)
+    debiased = ema_debiased(shadow, 1, decay=0.9)
+    np.testing.assert_allclose(np.asarray(debiased["w"]), 1.0, atol=1e-5)
+
+
+def test_checkpoint_roundtrip():
+    state = {
+        "params": {"dense": {"kernel": jnp.ones((3, 4)), "bias": jnp.zeros(4)}},
+        "step": jnp.asarray(7, dtype=jnp.int32),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        save_model(d, state, 7)
+        template = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored, step = load_model(d, template)
+        assert step == 7
+        np.testing.assert_allclose(np.asarray(restored["params"]["dense"]["kernel"]), 1.0)
+
+        # shape mismatch keeps template value
+        template2 = {
+            "params": {"dense": {"kernel": jnp.full((3, 8), 5.0), "bias": jnp.zeros(4)}},
+            "step": jnp.asarray(0, dtype=jnp.int32),
+        }
+        restored2, _ = load_model(d, template2)
+        assert restored2["params"]["dense"]["kernel"].shape == (3, 8)
+        np.testing.assert_allclose(np.asarray(restored2["params"]["dense"]["bias"]), 0.0)
+
+
+@pytest.mark.slow
+def test_e2e_micro_training():
+    """Micro NeRF training on the synthetic scene: PSNR must improve
+    substantially over 150 steps."""
+    from arcnerf_tpu.trainer import ArcNerfTrainer
+    from arcnerf_tpu.utils.cfgs import load_configs, update_configs_by_dotlist
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs", "expr", "synthetic_nerf.yaml")
+    cfgs = load_configs(cfg_path)
+    with tempfile.TemporaryDirectory() as d:
+        update_configs_by_dotlist(cfgs, [
+            "--name", "e2e_test",
+            "--dir.expr_dir", os.path.join(d, "expr"),
+            "--progress.epoch", "150",
+            "--progress.epoch_loss", "50",
+            "--progress.epoch_val", "150",
+            "--progress.epoch_save_checkpoint", "150",
+            "--dataset.train.n_imgs", "4",
+            "--dataset.train.wh", "[40,40]",
+            "--dataset.val.n_imgs", "1",
+            "--dataset.val.wh", "[40,40]",
+            "--model.rays.n_sample", "24",
+            "--model.rays.n_importance", "16",
+            "--model.geometry.W", "64",
+            "--model.geometry.D", "3",
+            "--model.geometry.W_feat", "64",
+            "--model.radiance.W", "32",
+            "--model.radiance.W_feat_in", "64",
+            "--n_rays", "512",
+        ])
+        trainer = ArcNerfTrainer(cfgs)
+        trainer.train()
+        summary = trainer.valid_epoch(150)
+        assert summary["psnr"] > 11.0, "val psnr too low: {}".format(summary)
+        # checkpoint written
+        assert os.path.exists(os.path.join(trainer.ckpt_dir, "final.ckpt"))
