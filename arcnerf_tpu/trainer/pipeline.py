@@ -124,8 +124,10 @@ class Pipeline:
 
     # -------------------------------------------------------- dynamic batch
     def record_valid_pts(self, n_valid_pts, n_pts_per_ray):
-        """Feed back the measured valid-point count of a step."""
-        self._measured.append((float(n_valid_pts), float(self.n_rays), float(n_pts_per_ray)))
+        """Feed back the measured valid-point count of a step. Accepts a
+        device array — NOT read until update_dynamic_bs fires, so no
+        per-step device->host sync."""
+        self._measured.append((n_valid_pts, float(self.n_rays), float(n_pts_per_ray)))
 
     def update_dynamic_bs(self, epoch, log_max_allowance):
         """Every update_epoch steps, rescale n_rays so that expected valid
@@ -136,7 +138,7 @@ class Pipeline:
         if epoch % self.dynamic_update_epoch != 0 or not self._measured:
             return self.n_rays
         budget = float(1 << log_max_allowance)
-        valid_per_ray = sum(m[0] / m[1] for m in self._measured) / len(self._measured)
+        valid_per_ray = sum(float(m[0]) / m[1] for m in self._measured) / len(self._measured)
         self._measured = []
         target = min(budget / max(valid_per_ray, 1.0), float(self.dynamic_max_bs))
         for b in _BS_BUCKETS:

@@ -304,7 +304,9 @@ class ArcNerfTrainer:
                 self.state, stats = self._train_step(self.state, feed_in, sub, epoch)
 
                 if "n_valid_pts" in stats and self.log_max_allowance:
-                    self.pipeline.record_valid_pts(float(stats["n_valid_pts"]), self.n_coarse)
+                    # keep as device array; host sync happens only at the
+                    # dynamic-bs update cadence inside the pipeline
+                    self.pipeline.record_valid_pts(stats["n_valid_pts"], self.n_coarse)
 
                 if (epoch + 1) % epoch_loss == 0:
                     jax.block_until_ready(stats["loss"])

@@ -31,6 +31,26 @@ def save_model(ckpt_dir, state, step, logger=None, keep_name=None):
         logger.add_log("Saved checkpoint at step {} -> {}".format(step, names))
 
 
+def load_raw_state(path):
+    """Loose restore: checkpoint -> (raw nested-dict state, step). Use when
+    the caller only wants a subtree (e.g. eval needs params + bound_state,
+    not the optimizer)."""
+    from flax import serialization
+
+    if os.path.isdir(path):
+        path = _ckpt_path(path, "latest")
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    return raw["state"], int(raw["step"])
+
+
+def restore_subtree(template, raw):
+    """Shape raw nested dicts onto a template pytree (from_state_dict)."""
+    from flax import serialization
+
+    return serialization.from_state_dict(template, raw)
+
+
 def load_model(path, state_template, restore_optimizer=True, logger=None):
     """Restore into ``state_template`` (same treedef). Keys whose shapes
     mismatch keep the template value with a warning (reference

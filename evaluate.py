@@ -1,0 +1,61 @@
+"""Evaluation CLI (parity: /root/reference/evaluate.py:19-88).
+
+Usage: python evaluate.py --configs <cfg.yaml> --model_pt <ckpt>
+Renders the eval split, reports PSNR/SSIM, writes images + eval_log.txt.
+"""
+
+import os
+import sys
+
+import jax
+
+from arcnerf_tpu.datasets import get_dataset
+from arcnerf_tpu.evaluation import run_eval
+from arcnerf_tpu.models import build_model
+from arcnerf_tpu.utils.cfgs import get_value_from_cfgs_field, parse_configs
+from arcnerf_tpu.utils.logger import Logger
+from arcnerf_tpu.utils.model_io import load_raw_state, restore_subtree
+
+
+def main():
+    cfgs = parse_configs(sys.argv[1:])
+    eval_dir = get_value_from_cfgs_field(cfgs.dir, "eval_dir", None) if hasattr(cfgs, "dir") else None
+    eval_dir = eval_dir or os.path.join("results", get_value_from_cfgs_field(cfgs, "name", "eval"))
+    os.makedirs(eval_dir, exist_ok=True)
+    logger = Logger(os.path.join(eval_dir, "eval_log.txt".replace(".txt", "_run.log")))
+
+    data_dir = get_value_from_cfgs_field(cfgs.dir, "data_dir", "data") if hasattr(cfgs, "dir") else "data"
+    dataset = get_dataset(cfgs.dataset, data_dir, "eval", None, logger)
+
+    model = build_model(cfgs, logger)
+    bound_state = model.init_bound_state()
+    sample = dataset[0]
+    import jax.numpy as jnp
+
+    tiny = {k: jnp.asarray(v[:2])[None] for k, v in sample.items()
+            if k in ("img", "mask", "rays_o", "rays_d", "rays_r", "bounds", "exp_time")}
+    variables = jax.jit(
+        lambda rngs, feed: model.init(rngs, feed, inference_only=True, bound_state=bound_state)
+    )({"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, tiny)
+
+    model_pt = get_value_from_cfgs_field(cfgs, "model_pt", None)
+    if model_pt and os.path.exists(str(model_pt)):
+        raw, step = load_raw_state(str(model_pt))
+        params = restore_subtree(variables["params"], raw["params"])
+        if raw.get("bound_state"):
+            bound_state = restore_subtree(bound_state, raw["bound_state"])
+        logger.add_log("restored checkpoint {} (step {})".format(model_pt, step))
+    else:
+        logger.warn("no model_pt given/found — evaluating a random init")
+        params = variables["params"]
+
+    render_chunk = jax.jit(
+        lambda feed: model.apply({"params": params}, feed, inference_only=True, bound_state=bound_state)
+    )
+    max_samples = get_value_from_cfgs_field(cfgs.progress, "max_samples_eval", 25) if hasattr(cfgs, "progress") else 25
+    summary, _ = run_eval(render_chunk, dataset, logger, eval_dir, max_samples=max_samples)
+    print("Eval done:", summary)
+
+
+if __name__ == "__main__":
+    main()

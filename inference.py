@@ -1,0 +1,81 @@
+"""Inference CLI (parity: /root/reference/inference.py:16-76).
+
+Usage: python inference.py --configs <cfg.yaml> --model_pt <ckpt>
+Renders novel-view videos on configured camera paths and extracts a point
+cloud + colored mesh from the trained model.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from arcnerf_tpu.datasets import get_dataset
+from arcnerf_tpu.evaluation import Inferencer
+from arcnerf_tpu.models import build_model
+from arcnerf_tpu.utils.cfgs import get_value_from_cfgs_field, parse_configs, valid_key_in_cfgs
+from arcnerf_tpu.utils.logger import Logger
+from arcnerf_tpu.utils.model_io import load_raw_state, restore_subtree
+
+
+def main():
+    cfgs = parse_configs(sys.argv[1:])
+    out_dir = get_value_from_cfgs_field(cfgs.dir, "eval_dir", None) if hasattr(cfgs, "dir") else None
+    out_dir = out_dir or os.path.join("results", get_value_from_cfgs_field(cfgs, "name", "infer"))
+    os.makedirs(out_dir, exist_ok=True)
+    logger = Logger(os.path.join(out_dir, "infer.log"))
+
+    # dataset only provides intrinsic/wh for the render cameras
+    data_dir = get_value_from_cfgs_field(cfgs.dir, "data_dir", "data") if hasattr(cfgs, "dir") else "data"
+    intrinsic, wh = None, None
+    for mode in ("eval", "val", "train"):
+        if valid_key_in_cfgs(cfgs.dataset, mode):
+            try:
+                dataset = get_dataset(cfgs.dataset, data_dir, mode, None, logger)
+                intrinsic = dataset.get_intrinsic()
+                wh = (dataset.W, dataset.H)
+                break
+            except Exception:
+                continue
+    assert intrinsic is not None, "need at least one loadable dataset split for camera intrinsics"
+
+    model = build_model(cfgs, logger)
+    bound_state = model.init_bound_state()
+    sample = dataset[0]
+    tiny = {k: jnp.asarray(v[:2])[None] for k, v in sample.items()
+            if k in ("img", "mask", "rays_o", "rays_d", "rays_r", "bounds", "exp_time")}
+    variables = jax.jit(
+        lambda rngs, feed: model.init(rngs, feed, inference_only=True, bound_state=bound_state)
+    )({"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, tiny)
+
+    params = variables["params"]
+    model_pt = get_value_from_cfgs_field(cfgs, "model_pt", None)
+    if model_pt and os.path.exists(str(model_pt)):
+        raw, step = load_raw_state(str(model_pt))
+        params = restore_subtree(params, raw["params"])
+        if raw.get("bound_state"):
+            bound_state = restore_subtree(bound_state, raw["bound_state"])
+        logger.add_log("restored checkpoint {} (step {})".format(model_pt, step))
+    else:
+        logger.warn("no model_pt given/found — inferring from a random init")
+
+    render_chunk = jax.jit(
+        lambda feed: model.apply({"params": params}, feed, inference_only=True, bound_state=bound_state)
+    )
+    forward_pts = jax.jit(
+        lambda pts: model.apply({"params": params}, pts, method="forward_pts")
+    )
+    forward_pts_dir = jax.jit(
+        lambda pts, dirs: model.apply({"params": params}, pts, dirs, method="forward_pts_dir")
+    )
+
+    infer_cfgs = cfgs.inference if valid_key_in_cfgs(cfgs, "inference") else None
+    assert infer_cfgs is not None, "cfgs.inference missing"
+    inferencer = Inferencer(infer_cfgs, intrinsic, wh, logger)
+    results = inferencer.run_infer(render_chunk, forward_pts, forward_pts_dir, out_dir)
+    print("Inference done:", results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Marching-tetrahedra mesh extraction tests: extract a sphere sdf, check
+geometry quality (radius, watertight-ish area, orientation)."""
+
+import numpy as np
+
+from arcnerf_tpu.geometry.mesh import (
+    extract_mesh,
+    get_face_centers,
+    get_normals,
+    load_meshes,
+    save_meshes,
+    simplify_mesh,
+)
+
+
+def make_sphere_sdf(n=48, extent=1.5, radius=1.0):
+    axes = [np.linspace(-extent, extent, n)] * 3
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1)
+    sdf = np.linalg.norm(grid, axis=-1) - radius
+    spacing = (2 * extent / (n - 1),) * 3
+    origin = (-extent, -extent, -extent)
+    return sdf, spacing, origin
+
+
+def test_sphere_extraction():
+    sdf, spacing, origin = make_sphere_sdf()
+    verts, faces = extract_mesh(sdf, 0.0, spacing, origin)
+    assert verts.shape[0] > 500 and faces.shape[0] > 1000
+    r = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(r.mean(), 1.0, atol=0.02)
+    assert r.std() < 0.02
+
+    # surface area close to 4*pi
+    tri = verts[faces]
+    area = 0.5 * np.linalg.norm(np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1).sum()
+    np.testing.assert_allclose(area, 4 * np.pi, rtol=0.05)
+
+    # normals point outward (along +r for a sphere sdf)
+    _, face_n = get_normals(verts, faces)
+    centers = get_face_centers(verts, faces)
+    out_frac = np.mean(np.sum(face_n * centers, axis=-1) > 0)
+    assert out_frac > 0.99
+
+
+def test_density_convention():
+    """grad_dir='descent': inside has larger value (density fields)."""
+    sdf, spacing, origin = make_sphere_sdf()
+    density = 10.0 * (0.5 - sdf)  # inside > 5, outside < 5
+    verts, faces = extract_mesh(density, 5.0, spacing, origin, grad_dir="descent")
+    r = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(r.mean(), 1.0, atol=0.05)
+    # orientation still outward
+    _, face_n = get_normals(verts, faces)
+    centers = get_face_centers(verts, faces)
+    assert np.mean(np.sum(face_n * centers, axis=-1) > 0) > 0.99
+
+
+def test_simplify():
+    sdf, spacing, origin = make_sphere_sdf()
+    verts, faces = extract_mesh(sdf, 0.0, spacing, origin)
+    v2, f2 = simplify_mesh(verts, faces, max_faces=faces.shape[0] // 4)
+    assert f2.shape[0] <= faces.shape[0] // 4
+    r = np.linalg.norm(v2, axis=-1)
+    np.testing.assert_allclose(r.mean(), 1.0, atol=0.05)
+
+
+def test_ply_roundtrip(tmp_path):
+    sdf, spacing, origin = make_sphere_sdf(n=24)
+    verts, faces = extract_mesh(sdf, 0.0, spacing, origin)
+    colors = np.random.default_rng(0).random((verts.shape[0], 3)).astype(np.float32)
+    path = str(tmp_path / "m.ply")
+    save_meshes(path, verts, faces, colors)
+    v, f, c = load_meshes(path)
+    assert v.shape == verts.shape and f.shape == faces.shape and c.shape == colors.shape
+    np.testing.assert_allclose(v, verts, atol=1e-4)
+    np.testing.assert_array_equal(f, faces)
