@@ -41,3 +41,7 @@ def get_model_feed_in(inputs, to_device=True):
 from . import nerf_dataset  # noqa: F401, E402
 from . import llff_dataset  # noqa: F401, E402
 from . import synthetic_dataset  # noqa: F401, E402
+from . import dtu_dataset  # noqa: F401, E402
+from . import capture_dataset  # noqa: F401, E402
+from . import nerfpp_style_dataset  # noqa: F401, E402
+from . import hdrreal_dataset  # noqa: F401, E402

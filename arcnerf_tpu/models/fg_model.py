@@ -127,16 +127,40 @@ class FgModel(Base3dModel):
     def get_sigma_radiance_by_mask_pts(
         self, geo_net, radiance_net, rays_o, rays_d, zvals, mask_pts=None, inference_only=False
     ):
-        """Evaluate sigma/radiance at every (ray, sample) point.
+        """Evaluate sigma/radiance at the (ray, sample) points.
 
-        Static-shape version of reference fg_model.py:264 — no compaction;
-        invalid points are still evaluated but their zvals duplicate the last
-        valid sample so ray marching assigns them zero weight.
+        Static-shape compaction (replaces reference fg_model.py:264's
+        dynamic boolean compaction + scatter-back): when a point budget is
+        configured (obj_bound.log_max_allowance) and mask_pts marks most
+        points invalid, sort points by validity (stable argsort — one XLA
+        sort), run the MLP only on the first ``budget`` points, and scatter
+        results back. Invalid points keep sigma=0 — their left-compacted
+        zvals duplicate the last valid sample, so ray marching gives them
+        zero weight either way.
         """
         n_rays, n_pts = zvals.shape
+        total = n_rays * n_pts
         pts = get_ray_points_by_zvals(rays_o, rays_d, zvals).reshape(-1, 3)
         dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, n_pts, 3)).reshape(-1, 3)
-        sigma, radiance = self._forward_pts_dir(geo_net, radiance_net, pts, dirs)
+
+        budget = self.get_render_cfgs("max_allowance")
+        use_compact = (
+            mask_pts is not None and isinstance(budget, int) and 0 < budget < total
+        )
+        if not use_compact:
+            sigma, radiance = self._forward_pts_dir(geo_net, radiance_net, pts, dirs)
+            return sigma.reshape(n_rays, n_pts), radiance.reshape(n_rays, n_pts, 3)
+
+        valid = mask_pts.reshape(-1)
+        order = jnp.argsort(~valid, stable=True)  # valid points first
+        sel = order[:budget]
+        sel_valid = valid[sel]
+        sigma_c, radiance_c = self._forward_pts_dir(geo_net, radiance_net, pts[sel], dirs[sel])
+        sigma_c = jnp.where(sel_valid, sigma_c, 0.0)
+        radiance_c = jnp.where(sel_valid[:, None], radiance_c, 0.0)
+
+        sigma = jnp.zeros((total,), dtype=sigma_c.dtype).at[sel].set(sigma_c)
+        radiance = jnp.zeros((total, 3), dtype=radiance_c.dtype).at[sel].set(radiance_c)
         return sigma.reshape(n_rays, n_pts), radiance.reshape(n_rays, n_pts, 3)
 
     # ----------------------------------------------------- invalid-ray fill

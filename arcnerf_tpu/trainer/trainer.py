@@ -325,6 +325,9 @@ class ArcNerfTrainer:
                     self.valid_epoch(epoch + 1)
                 if epoch_eval > 0 and (epoch + 1) % epoch_eval == 0 and "eval" in self.data:
                     self.eval_epoch(epoch + 1)
+                epoch_infer = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_infer", -1))
+                if epoch_infer > 0 and (epoch + 1) % epoch_infer == 0:
+                    self.infer_epoch(epoch + 1)
                 if is_master() and (epoch + 1) % epoch_save == 0:
                     save_model(self.ckpt_dir, self.state, epoch + 1, self.logger)
                 if is_master() and time.time() - self._last_save_time > save_time:
@@ -363,14 +366,36 @@ class ArcNerfTrainer:
     def eval_epoch(self, epoch):
         return self.valid_epoch(epoch, mode="eval")
 
+    def infer_epoch(self, epoch):
+        """Novel-view video + extraction via Inferencer (reference
+        arcnerf_trainer.py:408-424). Needs cfgs.inference."""
+        if not valid_key_in_cfgs(self.cfgs, "inference"):
+            return None
+        from ..evaluation import Inferencer
+
+        src = self.data.get("val") or self.data.get("eval") or self.data["train"]
+        inferencer = Inferencer(
+            self.cfgs.inference, src.get_intrinsic(), (src.W, src.H), self.logger
+        )
+        out_dir = os.path.join(self.expr_dir, "infer_ep{}".format(epoch))
+        params, bound_state = self.state["params"], self.state["bound_state"]
+        render_chunk = lambda feed: self._render_chunk(params, bound_state, feed)  # noqa: E731
+        forward_pts = jax.jit(lambda pts: self.model.apply({"params": params}, pts, method="forward_pts"))
+        forward_pts_dir = jax.jit(
+            lambda pts, dirs: self.model.apply({"params": params}, pts, dirs, method="forward_pts_dir")
+        )
+        return inferencer.run_infer(render_chunk, forward_pts, forward_pts_dir, out_dir)
+
     def _write_progress_img(self, imgs, gt, name):
         try:
+            from ..visual.render_img import render_progress_imgs
+
+            h, w = gt.shape[:2]
+            panel = render_progress_imgs({"img": gt, "H": h, "W": w}, imgs)
             import cv2
 
-            pred = (np.clip(imgs["rgb"], 0, 1) * 255).astype(np.uint8)
-            gtc = (np.clip(gt, 0, 1) * 255).astype(np.uint8)
-            panel = np.concatenate([gtc, pred], axis=1)
-            cv2.imwrite(os.path.join(self.progress_dir, name + ".png"), panel[..., ::-1])
-            self.monitor.add_img(name, panel, 0)
+            img = panel["imgs"][0]
+            cv2.imwrite(os.path.join(self.progress_dir, name + ".png"), img[..., ::-1])
+            self.monitor.add_img(name, img, 0)
         except Exception as e:
             self.logger.warn("progress img write failed: {}".format(e))
