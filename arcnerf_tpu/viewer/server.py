@@ -1,0 +1,121 @@
+"""Viewer server: websocket camera-in / JPEG-frame-out bridge.
+
+Capability parity with /root/reference/ns_viewer/server/ (tornado+zmq
+websocket bridge server.py, ViewerState viewer_utils.py:205 —
+init_scene:280, update_scene:357, _render_image_in_viewer:657 adaptive
+resolution). TPU-native twist: rendering goes through one jitted
+chunk-renderer at a few fixed resolutions (static shapes — no recompile per
+drag), low-res while interacting, high-res when the camera settles.
+"""
+
+import base64
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+
+class ViewerState:
+    """Holds the render function + scene metadata; renders on demand."""
+
+    # fixed resolution ladder -> static shapes, one compile each
+    RES_LADDER = (64, 128, 256, 512)
+
+    def __init__(self, render_chunk_fn, intrinsic, wh, chunk_rays=8192, train_state_info=None):
+        self.render_chunk_fn = render_chunk_fn
+        self.intrinsic = np.asarray(intrinsic, dtype=np.float64)
+        self.W, self.H = wh
+        self.chunk_rays = chunk_rays
+        self.train_state_info = train_state_info or {}
+        self._lock = threading.Lock()
+
+    def set_render_fn(self, render_chunk_fn):
+        with self._lock:
+            self.render_chunk_fn = render_chunk_fn
+
+    def render_pose(self, c2w, res=128):
+        """c2w (4, 4) -> (h, w, 3) uint8 at the closest ladder resolution."""
+        res = min(self.RES_LADDER, key=lambda r: abs(r - res))
+        scale = res / max(self.W, self.H)
+        w, h = max(int(self.W * scale), 16), max(int(self.H * scale), 16)
+
+        from ..evaluation.eval_func import render_full_image
+        from ..render.camera import PerspectiveCamera
+
+        intr = self.intrinsic.copy()
+        intr[0, 0] *= scale
+        intr[1, 1] *= scale
+        intr[0, 2] = w / 2.0
+        intr[1, 2] = h / 2.0
+        cam = PerspectiveCamera(intr, np.asarray(c2w), w, h)
+        ro, rd, _, rr = cam.get_rays(wh_order=False)
+        sample = {"rays_o": np.asarray(ro), "rays_d": np.asarray(rd), "rays_r": np.asarray(rr),
+                  "H": h, "W": w}
+        with self._lock:
+            imgs = render_full_image(self.render_chunk_fn, sample, self.chunk_rays)
+        return (np.clip(imgs["rgb"], 0, 1) * 255).astype(np.uint8)
+
+    def render_jpeg_b64(self, c2w, res=128, quality=80):
+        import cv2
+
+        frame = self.render_pose(c2w, res)
+        ok, buf = cv2.imencode(".jpg", frame[..., ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+        assert ok
+        return base64.b64encode(buf.tobytes()).decode()
+
+
+def make_app(state):
+    import tornado.web
+    import tornado.websocket
+
+    client_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "client.html")
+
+    class IndexHandler(tornado.web.RequestHandler):
+        def get(self):
+            with open(client_path) as f:
+                self.write(f.read())
+
+    class WSHandler(tornado.websocket.WebSocketHandler):
+        def check_origin(self, origin):
+            return True
+
+        def on_message(self, message):
+            try:
+                msg = json.loads(message)
+                c2w = np.asarray(msg["c2w"], dtype=np.float64).reshape(4, 4)
+                res = int(msg.get("res", 128))
+                t0 = time.perf_counter()
+                jpeg = state.render_jpeg_b64(c2w, res)
+                self.write_message(json.dumps({
+                    "type": "frame",
+                    "jpeg": jpeg,
+                    "render_ms": round((time.perf_counter() - t0) * 1000, 1),
+                    "info": state.train_state_info,
+                }))
+            except Exception as e:  # surface render errors to the client
+                self.write_message(json.dumps({"type": "error", "msg": str(e)}))
+
+    return tornado.web.Application([(r"/", IndexHandler), (r"/ws", WSHandler)])
+
+
+def run_viewer(state, port=7007, in_thread=False):
+    """Serve the viewer. ``in_thread`` runs the IO loop on a daemon thread
+    (for use inside the trainer)."""
+    import asyncio
+
+    import tornado.ioloop
+
+    def serve():
+        asyncio.set_event_loop(asyncio.new_event_loop())
+        app = make_app(state)
+        app.listen(port)
+        print("viewer: http://localhost:{}".format(port))
+        tornado.ioloop.IOLoop.current().start()
+
+    if in_thread:
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        return t
+    serve()
