@@ -88,6 +88,23 @@ class ArcNerfTrainer:
         self.state = self.init_state()
         self.start_epoch = 0
 
+        # SIREN sphere pretraining (model.init_setting parity,
+        # basic_trainer.py:60-63 + linear_network_module.py:200)
+        geo_cfg = get_value_from_cfgs_field(cfgs.model, "geometry", None)
+        if get_value_from_cfgs_field(geo_cfg, "use_siren", False) and get_value_from_cfgs_field(
+            geo_cfg, "geometric_init", False
+        ):
+            from .pretrain import pretrain_siren_sphere
+
+            self.logger.add_log("pretraining SIREN geo net to sphere sdf")
+            new_vars = pretrain_siren_sphere(
+                self.model,
+                {"params": self.state["params"]},
+                radius_init=get_value_from_cfgs_field(geo_cfg, "radius_init", 1.0),
+                logger=self.logger,
+            )
+            self.state["params"] = new_vars["params"]
+
         # resume
         resume = get_value_from_cfgs_field(cfgs, "resume", None)
         if resume and resume != "None" and os.path.exists(str(resume)):

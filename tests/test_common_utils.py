@@ -1,0 +1,95 @@
+"""Tests for img/video/file/color utils + siren pretrain convergence."""
+
+import os
+import tempfile
+
+import numpy as np
+
+from arcnerf_tpu.utils.color_adjust import adjust_gamma, clahe, match_color_stats, white_balance_grayworld
+from arcnerf_tpu.utils.file_utils import backup_source, scan_dir
+from arcnerf_tpu.utils.img_utils import get_img_blur, heatmap_img, img_scale, img_to_uint8, read_img, write_img
+from arcnerf_tpu.utils.video_utils import get_video_metadata, read_video, write_video
+
+
+def test_img_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 48, 3)).astype(np.float32)
+    path = str(tmp_path / "img.png")
+    write_img(path, img)
+    back = read_img(path)
+    np.testing.assert_allclose(back, img, atol=1 / 255.0 + 1e-6)
+
+    assert img_to_uint8(img).dtype == np.uint8
+    scaled = img_scale(img, 0.5)
+    assert scaled.shape == (16, 24, 3)
+    assert get_img_blur(img) > 0
+    assert heatmap_img(img[..., 0]).shape == (32, 48, 3)
+
+
+def test_video_roundtrip(tmp_path):
+    frames = [np.full((32, 32, 3), i / 10.0, dtype=np.float32) for i in range(10)]
+    path = str(tmp_path / "v.mp4")
+    write_video(path, frames, fps=10)
+    meta = get_video_metadata(path)
+    assert meta["n_frames"] == 10 and meta["width"] == 32
+    back = read_video(path)
+    assert len(back) == 10 and back[0].shape == (32, 32, 3)
+
+
+def test_file_utils(tmp_path):
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "a.py").write_text("x=1")
+    (d / "b.txt").write_text("t")
+    (d / "sub").mkdir()
+    (d / "sub" / "c.py").write_text("y=2")
+    assert scan_dir(str(d), ".py") == ["a.py"]
+    assert sorted(scan_dir(str(d), ".py", recursive=True)) == ["a.py", os.path.join("sub", "c.py")]
+    out = tmp_path / "bak"
+    backup_source(str(d), str(out), exts=(".py",))
+    assert (out / "a.py").exists() and (out / "sub" / "c.py").exists()
+
+
+def test_color_adjust():
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 16, 3)).astype(np.float32) * 0.5
+    assert clahe(img).shape == img.shape
+    wb = white_balance_grayworld(img)
+    ch_means = wb.reshape(-1, 3).mean(0)
+    assert ch_means.std() < img.reshape(-1, 3).mean(0).std() + 1e-6
+    g = adjust_gamma(img, 2.2)
+    assert g.max() <= 1.0 and g.min() >= 0.0
+    ref = rng.random((16, 16, 3)).astype(np.float32)
+    matched = match_color_stats(img, ref)
+    assert abs(matched.mean() - np.clip(ref, 0, 1).mean()) < 0.2
+
+
+def test_siren_pretrain_fits_sphere():
+    import jax
+    import jax.numpy as jnp
+
+    from arcnerf_tpu.models import build_model
+    from arcnerf_tpu.trainer.pretrain import pretrain_siren_sphere
+    from arcnerf_tpu.utils.cfgs import dict_to_obj
+
+    cfgs = dict_to_obj({
+        "model": {
+            "type": "NeRF",
+            "rays": {"near": 1.0, "far": 4.0, "n_sample": 8, "n_importance": 0},
+            "geometry": {"W": 64, "D": 3, "skips": [], "use_siren": True, "geometric_init": True,
+                         "radius_init": 0.8, "W_feat": 16,
+                         "encoder": {"type": "FreqEmbedder", "input_dim": 3, "n_freqs": 0}},
+            "radiance": {"mode": "vf", "W": 32, "D": 1, "W_feat_in": 16},
+        }
+    })
+    model = build_model(cfgs)
+    pts = jnp.zeros((4, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, pts, method="forward_pts"
+    )
+    new_vars = pretrain_siren_sphere(model, variables, radius_init=0.8, n_iter=2000, lr=1e-3, n_pts=4096)
+
+    test_pts = jnp.asarray([[0.0, 0.0, 0.0], [0.8, 0.0, 0.0], [0.0, 1.5, 0.0]])
+    sdf = np.asarray(model.apply({"params": new_vars["params"]}, test_pts, method="forward_pts"))
+    gt = np.array([-0.8, 0.0, 0.7])
+    np.testing.assert_allclose(sdf, gt, atol=0.3)
