@@ -85,6 +85,16 @@ def extract_mesh(volume, level=0.0, spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0
     spacing = np.asarray(spacing, dtype=np.float64)
     origin = np.asarray(origin, dtype=np.float64)
 
+    # native C++ fast path (same algorithm; returns grid-coord triangles)
+    from ..native import marching_tets_native
+
+    native_tris = marching_tets_native(volume, level)
+    if native_tris is not None:
+        if native_tris.shape[0] == 0:
+            return np.zeros((0, 3), dtype=np.float32), np.zeros((0, 3), dtype=np.int64)
+        tris = native_tris.astype(np.float64) * spacing[None, None, :] + origin[None, None, :]
+        return _weld_and_orient(tris, volume, spacing, origin)
+
     all_tris = []
 
     for z0 in range(0, nz - 1, chunk_z):
@@ -132,8 +142,12 @@ def extract_mesh(volume, level=0.0, spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0
         return np.zeros((0, 3), dtype=np.float32), np.zeros((0, 3), dtype=np.int64)
 
     tris = np.concatenate(all_tris, axis=0)  # (T, 3, 3)
+    return _weld_and_orient(tris, volume, spacing, origin)
 
-    # weld vertices
+
+def _weld_and_orient(tris, volume, spacing, origin):
+    """Shared postprocess: weld vertices, drop degenerates, orient faces
+    against the field gradient (outward = increasing value)."""
     flat = tris.reshape(-1, 3)
     key = np.round(flat / (spacing.min() * 1e-4)).astype(np.int64)
     uniq, inv = np.unique(key, axis=0, return_inverse=True)
@@ -143,11 +157,9 @@ def extract_mesh(volume, level=0.0, spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0
     verts = verts / counts
     faces = inv.reshape(-1, 3)
 
-    # drop degenerate faces
     good = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])
     faces = faces[good]
 
-    # orient faces against the field gradient (outward = increasing value)
     centers = verts[faces].mean(1)
     grad = _field_gradient(volume, centers, spacing, origin)
     normals = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]], verts[faces[:, 2]] - verts[faces[:, 0]])

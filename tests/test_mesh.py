@@ -74,3 +74,30 @@ def test_ply_roundtrip(tmp_path):
     assert v.shape == verts.shape and f.shape == faces.shape and c.shape == colors.shape
     np.testing.assert_allclose(v, verts, atol=1e-4)
     np.testing.assert_array_equal(f, faces)
+
+
+def test_native_extractor_parity():
+    """C++ marching tets vs python path: same surface, same face count;
+    native mesh must be a closed manifold (V = F/2 + 2)."""
+    import arcnerf_tpu.native as nat
+
+    if not nat.native_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    sdf, spacing, origin = make_sphere_sdf(n=40)
+    v_nat, f_nat = extract_mesh(sdf, 0.0, spacing, origin)
+
+    lib, tried = nat._LIB, nat._TRIED
+    nat._LIB, nat._TRIED = None, True  # force python path
+    try:
+        v_py, f_py = extract_mesh(sdf, 0.0, spacing, origin)
+    finally:
+        nat._LIB, nat._TRIED = lib, tried
+
+    assert f_nat.shape[0] == f_py.shape[0]
+    r_nat = np.linalg.norm(v_nat, axis=-1)
+    r_py = np.linalg.norm(v_py, axis=-1)
+    np.testing.assert_allclose(r_nat.mean(), r_py.mean(), atol=1e-3)
+    # Euler characteristic of a closed manifold triangulation
+    assert v_nat.shape[0] == f_nat.shape[0] // 2 + 2
