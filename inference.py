@@ -72,8 +72,26 @@ def main():
 
     infer_cfgs = cfgs.inference if valid_key_in_cfgs(cfgs, "inference") else None
     assert infer_cfgs is not None, "cfgs.inference missing"
+
+    # optional surface-render video (sphere tracing / secant level set)
+    surface_render_fn = None
+    if get_value_from_cfgs_field(infer_cfgs, "render", None) is not None and get_value_from_cfgs_field(
+        infer_cfgs.render, "surface", False
+    ):
+        method = get_value_from_cfgs_field(infer_cfgs.render, "surface_method", "sphere_tracing")
+        level = get_value_from_cfgs_field(infer_cfgs.render, "surface_level", 0.0)
+        grad_dir = get_value_from_cfgs_field(infer_cfgs.render, "surface_grad_dir", "ascent")
+        surface_render_fn = jax.jit(
+            lambda feed: model.apply(
+                {"params": params}, feed, bound_state, method, 128, 20, 0.01, level, grad_dir,
+                method="surface_render",
+            )
+        )
+
     inferencer = Inferencer(infer_cfgs, intrinsic, wh, logger)
-    results = inferencer.run_infer(render_chunk, forward_pts, forward_pts_dir, out_dir)
+    results = inferencer.run_infer(
+        render_chunk, forward_pts, forward_pts_dir, out_dir, surface_render_fn=surface_render_fn
+    )
     print("Inference done:", results)
 
 
