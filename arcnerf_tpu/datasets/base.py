@@ -14,9 +14,8 @@ concat_train_batch pattern, which suits TPU host->device transfer).
 
 import numpy as np
 
-from ..geometry.poses import average_poses_up, center_poses, invert_poses
+from ..geometry.poses import average_poses_up, center_poses
 from ..geometry.ray import closest_point_to_rays
-from ..render.camera import PerspectiveCamera
 from ..utils.cfgs import get_value_from_cfgs_field, valid_key_in_cfgs
 from ..utils.chunk import np_wrapper
 

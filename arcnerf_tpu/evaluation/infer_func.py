@@ -16,7 +16,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..geometry.mesh import extract_mesh, get_normals, save_meshes, simplify_mesh
+from ..geometry.mesh import extract_mesh, save_meshes, simplify_mesh
 from ..geometry.point_cloud import save_point_cloud
 from ..geometry.poses import generate_cam_pose_on_sphere
 from ..render.camera import PerspectiveCamera

@@ -12,7 +12,7 @@ cfgs; AllLoss sums them with weights and returns a dict
 
 import jax.numpy as jnp
 
-from ..utils.cfgs import get_value_from_cfgs_field, obj_to_dict
+from ..utils.cfgs import get_value_from_cfgs_field
 from ..utils.registry import LOSS_REGISTRY
 
 

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from jax import nn as jnn
 
 from ...ops.trunc_exp import trunc_exp
-from ...utils.cfgs import Obj, get_value_from_cfgs_field, obj_to_dict
+from ...utils.cfgs import Obj, obj_to_dict
 
 
 def get_activation(cfg=None, default_cfg=None):

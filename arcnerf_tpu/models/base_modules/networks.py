@@ -21,7 +21,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...geometry.transformation import normalize
-from ...utils.cfgs import Obj, dict_to_obj, obj_to_dict
+from ...utils.cfgs import Obj, dict_to_obj
 from ...utils.registry import GEO_MODEL_REGISTRY, RADIANCE_MODEL_REGISTRY
 from .activation import get_activation
 

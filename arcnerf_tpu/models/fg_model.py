@@ -17,11 +17,8 @@ TPU-first differences:
   output['n_valid_pts'] for the trainer's recompile-free ray-budget logic.
 """
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
-from flax import linen as nn
 
 from ..geometry.ray import get_ray_points_by_zvals, surface_ray_intersection
 from ..geometry.transformation import normalize

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..utils.cfgs import get_value_from_cfgs_field, valid_key_in_cfgs
+from ..utils.cfgs import get_value_from_cfgs_field
 
 
 class FullModel(nn.Module):

@@ -13,7 +13,6 @@ from flax import linen as nn
 
 from ..utils.cfgs import dict_to_obj, get_value_from_cfgs_field
 from ..utils.registry import MODEL_REGISTRY
-from .base_modules import build_geo_model, build_radiance_model
 from .base_modules.activation import get_activation
 from .nerf_model import NeRF
 

@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 
 from ..render.ray_helper import sample_pdf
-from ..utils.cfgs import obj_to_dict
 from ..utils.registry import MODEL_REGISTRY
 from .base_modules import build_geo_model, build_radiance_model
 from .fg_model import FgModel

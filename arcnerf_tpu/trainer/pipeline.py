@@ -17,7 +17,7 @@ Host-side numpy scheduling; the sampled batch is handed to the jitted step.
 
 import numpy as np
 
-from ..utils.cfgs import get_value_from_cfgs_field, valid_key_in_cfgs
+from ..utils.cfgs import get_value_from_cfgs_field
 
 # static bucket ladder for dynamic batch size: powers of two keep the
 # number of distinct compiled graphs tiny

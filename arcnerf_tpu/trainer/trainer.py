@@ -35,7 +35,7 @@ from ..losses import build_loss
 from ..metrics import AverageDictCounter, build_metric, psnr
 from ..models import build_model
 from ..parallel.mesh import get_mesh, init_distributed, replicate, shard_batch
-from ..utils.cfgs import dump_configs, get_value_from_cfgs_field, obj_to_dict, valid_key_in_cfgs
+from ..utils.cfgs import dump_configs, get_value_from_cfgs_field, valid_key_in_cfgs
 from ..utils.logger import Logger, Monitor, is_master
 from ..utils.model_io import load_model, save_model
 from .ema import ema_init, ema_update

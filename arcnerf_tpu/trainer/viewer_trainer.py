@@ -5,8 +5,6 @@ arcnerf_trainer_with_nsviewer.py:16-99: the viewer runs alongside training
 and renders with the CURRENT parameters whenever the browser asks.
 """
 
-import jax
-
 from ..utils.cfgs import get_value_from_cfgs_field
 from ..viewer import ViewerState, run_viewer
 from .trainer import ArcNerfTrainer
