@@ -16,9 +16,11 @@ import jax.numpy as jnp
 from ..metrics import AverageDictCounter, psnr, ssim
 
 
-def render_full_image(render_chunk_fn, sample, chunk_rays=8192):
+def render_full_image(render_chunk_fn, sample, chunk_rays=8192, bkg_color=None):
     """Render all rays of one dataset sample through a jitted chunk renderer
-    ``render_chunk_fn(feed_in) -> output dict``; returns (H, W, ...) dict."""
+    ``render_chunk_fn(feed_in) -> output dict``; returns (H, W, ...) dict.
+    ``bkg_color`` (3,) composites the background at render time (training
+    may have used random background compositing)."""
     h, w = int(sample["H"]), int(sample["W"])
     n = sample["rays_o"].shape[0]
     outs = []
@@ -32,6 +34,8 @@ def render_full_image(render_chunk_fn, sample, chunk_rays=8192):
                     pad = chunk_rays - piece.shape[0]
                     piece = np.concatenate([piece, np.repeat(piece[-1:], pad, axis=0)], axis=0)
                 chunk[k] = jnp.asarray(piece)[None]
+        if bkg_color is not None:
+            chunk["bkg_color"] = jnp.tile(jnp.asarray(bkg_color, dtype=jnp.float32), (1, chunk_rays, 1))
         out = render_chunk_fn(chunk)
         outs.append({
             k: np.asarray(v[0])[: e - s]
@@ -43,7 +47,7 @@ def render_full_image(render_chunk_fn, sample, chunk_rays=8192):
 
 
 def run_eval(render_chunk_fn, dataset, logger=None, out_dir=None, max_samples=None, chunk_rays=8192,
-             compute_ssim=True):
+             compute_ssim=True, bkg_color=None):
     """Evaluate every (or max_samples) image: PSNR/SSIM + wall time.
 
     Returns (summary dict, list of per-image output dicts).
@@ -57,7 +61,7 @@ def run_eval(render_chunk_fn, dataset, logger=None, out_dir=None, max_samples=No
     for i in range(n):
         sample = dataset[i]
         t0 = time.perf_counter()
-        imgs = render_full_image(render_chunk_fn, sample, chunk_rays)
+        imgs = render_full_image(render_chunk_fn, sample, chunk_rays, bkg_color=bkg_color)
         jax.block_until_ready(jnp.zeros(()))
         dt = time.perf_counter() - t0
 

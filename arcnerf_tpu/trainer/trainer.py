@@ -272,7 +272,23 @@ class ArcNerfTrainer:
             {"params": params}, feed_in, inference_only=True, bound_state=bound_state
         )
 
-    def render_image(self, sample, chunk_rays=8192):
+    def eval_bkg_color(self, mode="val"):
+        """Background color to composite at eval render time: the dataset's
+        white_bkg / blend color (training composites random bkg onto gt, so
+        eval must supply the gt background explicitly)."""
+        ds_cfgs = get_value_from_cfgs_field(self.cfgs.dataset, mode, None) if valid_key_in_cfgs(
+            self.cfgs, "dataset") else None
+        if ds_cfgs is None:
+            return None
+        aug = get_value_from_cfgs_field(ds_cfgs, "augmentation", None)
+        blend = get_value_from_cfgs_field(aug, "blend_bkg_color", None)
+        if blend is not None:
+            return np.asarray(blend, dtype=np.float32)
+        if get_value_from_cfgs_field(ds_cfgs, "white_bkg", False):
+            return np.ones(3, dtype=np.float32)
+        return None
+
+    def render_image(self, sample, chunk_rays=8192, bkg_color=None):
         """Render a full image by chunking rays; returns dict of (H, W, ...)."""
         h, w = int(sample["H"]), int(sample["W"])
         n = sample["rays_o"].shape[0]
@@ -287,6 +303,8 @@ class ArcNerfTrainer:
                         pad = chunk_rays - piece.shape[0]
                         piece = np.concatenate([piece, np.repeat(piece[-1:], pad, axis=0)], axis=0)
                     chunk[k] = jnp.asarray(piece)[None]
+            if bkg_color is not None:
+                chunk["bkg_color"] = jnp.tile(jnp.asarray(bkg_color, dtype=jnp.float32), (1, chunk_rays, 1))
             out = self._render_chunk(self.state["params"], self.state["bound_state"], chunk)
             outs.append({k: np.asarray(v[0])[: e - s] for k, v in out.items()
                          if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] == chunk_rays})
@@ -366,9 +384,10 @@ class ArcNerfTrainer:
         dataset = self.data[mode]
         counter = AverageDictCounter()
         max_samples = int(get_value_from_cfgs_field(self.cfgs.progress, "max_samples_val", 1))
+        bkg_color = self.eval_bkg_color(mode)
         for i in range(min(len(dataset), max_samples)):
             sample = dataset[i]
-            imgs = self.render_image(sample)
+            imgs = self.render_image(sample, bkg_color=bkg_color)
             gt = sample["img"].reshape(imgs["rgb"].shape)
             val_psnr = float(psnr(jnp.asarray(imgs["rgb"]), jnp.asarray(gt)))
             counter({"psnr": val_psnr})

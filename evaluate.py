@@ -44,6 +44,7 @@ def main():
         params = restore_subtree(variables["params"], raw["params"])
         if raw.get("bound_state"):
             bound_state = restore_subtree(bound_state, raw["bound_state"])
+            bound_state = jax.tree_util.tree_map(jnp.asarray, bound_state)
         logger.add_log("restored checkpoint {} (step {})".format(model_pt, step))
     else:
         logger.warn("no model_pt given/found — evaluating a random init")
@@ -53,7 +54,15 @@ def main():
         lambda feed: model.apply({"params": params}, feed, inference_only=True, bound_state=bound_state)
     )
     max_samples = get_value_from_cfgs_field(cfgs.progress, "max_samples_eval", 25) if hasattr(cfgs, "progress") else 25
-    summary, _ = run_eval(render_chunk, dataset, logger, eval_dir, max_samples=max_samples)
+    ds_cfgs = get_value_from_cfgs_field(cfgs.dataset, "eval", None)
+    bkg_color = None
+    aug = get_value_from_cfgs_field(ds_cfgs, "augmentation", None)
+    blend = get_value_from_cfgs_field(aug, "blend_bkg_color", None)
+    if blend is not None:
+        bkg_color = blend
+    elif get_value_from_cfgs_field(ds_cfgs, "white_bkg", False):
+        bkg_color = [1.0, 1.0, 1.0]
+    summary, _ = run_eval(render_chunk, dataset, logger, eval_dir, max_samples=max_samples, bkg_color=bkg_color)
     print("Eval done:", summary)
 
 

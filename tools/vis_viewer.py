@@ -42,6 +42,7 @@ def main():
         params = restore_subtree(params, raw["params"])
         if raw.get("bound_state"):
             bound_state = restore_subtree(bound_state, raw["bound_state"])
+            bound_state = jax.tree_util.tree_map(jnp.asarray, bound_state)
         logger.add_log("restored {} (step {})".format(model_pt, step))
 
     render_chunk = jax.jit(
