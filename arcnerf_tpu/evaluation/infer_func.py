@@ -68,12 +68,34 @@ class Inferencer:
             n_cam = [n_cam] * len(types)
 
         for mode, n in zip(types, n_cam):
-            c2ws = generate_cam_pose_on_sphere(
-                mode, radius, n, u_start=u_start, v_ratio=v_ratio, v_range=v_range, n_rot=n_rot, close=True
-            )
+            if mode == "custom":
+                c2ws = self.read_json_cam(get_value_from_cfgs_field(render_cfgs, "custom_path"))
+                n = c2ws.shape[0]
+            else:
+                c2ws = generate_cam_pose_on_sphere(
+                    mode, radius, n, u_start=u_start, v_ratio=v_ratio, v_range=v_range, n_rot=n_rot, close=True
+                )
             cams = [PerspectiveCamera(self.intrinsic, c2ws[i], self.W, self.H) for i in range(n)]
             jobs.append({"mode": mode, "cams": cams, "fps": fps})
         return jobs
+
+    @staticmethod
+    def read_json_cam(path):
+        """Custom camera path from a nerfstudio-style json (reference
+        infer_func.py:229 read_json_cam): {'camera_path': [{'camera_to_world':
+        [16 floats]} ...]} or a plain {'c2ws': [...]} list -> (N, 4, 4)."""
+        import json
+
+        with open(path) as f:
+            data = json.load(f)
+        if "camera_path" in data:
+            mats = [np.asarray(f_["camera_to_world"], dtype=np.float64).reshape(4, 4)
+                    for f_ in data["camera_path"]]
+        elif "c2ws" in data:
+            mats = [np.asarray(m, dtype=np.float64).reshape(4, 4) for m in data["c2ws"]]
+        else:
+            raise ValueError("unrecognized camera path json: {}".format(path))
+        return np.stack(mats)
 
     def set_volume_data(self):
         if not valid_key_in_cfgs(self.cfgs, "volume"):
