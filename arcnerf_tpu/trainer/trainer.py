@@ -323,10 +323,32 @@ class ArcNerfTrainer:
         epoch_save = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_save_checkpoint", 100000))
         save_time = float(get_value_from_cfgs_field(self.cfgs.progress, "save_time", 1800))
 
+        # grad-clip warmup switch (reference basic_trainer.py:254 +
+        # optim.clip_warmup/clip_gradients_warmup): rebuild the optimizer
+        # with the post-warmup clip once; adam slots carry over (clip is
+        # stateless) so no state surgery is needed.
+        clip_warmup = int(get_value_from_cfgs_field(self.cfgs.optim, "clip_warmup", -1))
+        debug_mode = (
+            get_value_from_cfgs_field(self.cfgs.debug, "debug_mode", False)
+            if valid_key_in_cfgs(self.cfgs, "debug") else False
+        )
+
         t_start = time.time()
         t_window = time.time()
         try:
             for epoch in range(self.start_epoch, self.total_epoch):
+                if clip_warmup > 0 and epoch == clip_warmup:
+                    import copy
+
+                    new_optim = copy.deepcopy(self.cfgs.optim)
+                    new_optim.clip_gradients = get_value_from_cfgs_field(
+                        self.cfgs.optim, "clip_gradients_warmup", 0.0
+                    )
+                    self.tx, _ = build_optimizer(new_optim)
+                    self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+                    self.logger.add_log("switched grad clip to {} at epoch {}".format(
+                        new_optim.clip_gradients, epoch))
+
                 self.run_optimize(epoch)
 
                 if self.log_max_allowance:
@@ -347,8 +369,13 @@ class ArcNerfTrainer:
                     jax.block_until_ready(stats["loss"])
                     dt = time.time() - t_window
                     t_window = time.time()
+                    loss_val = float(stats["loss"])
+                    if debug_mode and loss_val != loss_val:  # NaN guard
+                        if is_master():
+                            save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="nan_abort")
+                        raise FloatingPointError("NaN loss at epoch {} — state saved".format(epoch))
                     msg = "epoch {:6d} | loss {:.5f} | psnr {:.2f} | {:.3f} s/iter | rays {}".format(
-                        epoch + 1, float(stats["loss"]), float(stats.get("psnr", 0.0)),
+                        epoch + 1, loss_val, float(stats.get("psnr", 0.0)),
                         dt / epoch_loss, self.pipeline.n_rays)
                     self.logger.add_log(msg)
                     for k, v in stats.items():
@@ -397,6 +424,30 @@ class ArcNerfTrainer:
         self.logger.add_log("[{}] epoch {} | {}".format(mode, epoch, counter.get_metric_info()))
         for k, v in summary.items():
             self.monitor.add_scalar("{}/{}".format(mode, k), v, epoch)
+
+        # optional per-ray sigma/alpha/weights curves (debug.get_progress,
+        # reference save_progress + render_img.get_sample_ray_imgs)
+        if (valid_key_in_cfgs(self.cfgs, "debug")
+                and get_value_from_cfgs_field(self.cfgs.debug, "get_progress", False) and is_master()):
+            try:
+                sample = dataset[0]
+                n = min(256, sample["rays_o"].shape[0])
+                feed = {k: jnp.asarray(sample[k][:n])[None]
+                        for k in ("rays_o", "rays_d", "rays_r") if k in sample}
+                out = self.model.apply(
+                    {"params": self.state["params"]}, feed, inference_only=False, get_progress=True,
+                    bound_state=self.state["bound_state"], rngs={"sampling": jax.random.PRNGKey(0)},
+                )
+                out = {k: np.asarray(v[0]) if hasattr(v, "ndim") and v.ndim >= 2 else v
+                       for k, v in out.items()}
+                from ..visual.render_img import get_sample_ray_imgs
+
+                figs = get_sample_ray_imgs(out, n_rays=2)
+                if figs is not None:
+                    for i, fig in enumerate(figs[0]):
+                        self.monitor.add_img("{}_ray_curve_{}".format(mode, i), fig, epoch)
+            except Exception as e:
+                self.logger.warn("ray-curve progress failed: {}".format(e))
         return summary
 
     def eval_epoch(self, epoch):
