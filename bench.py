@@ -29,7 +29,7 @@ def main():
 
     root = os.path.dirname(os.path.abspath(__file__))
     cfgs = load_configs(os.path.join(root, "configs", "expr", "synthetic_ngp.yaml"))
-    warmup_steps, timed_steps = 24, 96
+    warmup_steps, timed_steps = 48, 96
     n_rays = 4096
     update_configs_by_dotlist(cfgs, [
         "--name", "bench_ngp",
@@ -47,13 +47,23 @@ def main():
 
     trainer = ArcNerfTrainer(cfgs)
 
-    def one_step(epoch):
+    rays_counter = {"n": 0}
+
+    def one_step(epoch, count=False):
         trainer.run_optimize(epoch)
+        # dynamic batch sizing exactly as the trainer does: compaction keeps
+        # the MLP point budget fixed, so bigger ray buckets are nearly free
+        if trainer.log_max_allowance:
+            trainer.pipeline.update_dynamic_bs(epoch, trainer.log_max_allowance)
         batch = trainer.pipeline.get_train_batch(epoch)
         feed_in, _ = get_model_feed_in(batch)
         feed_in = shard_batch(feed_in, trainer.mesh)
         trainer.key, sub = jax.random.split(trainer.key)
         trainer.state, stats = trainer._train_step(trainer.state, feed_in, sub, epoch)
+        if "n_valid_pts" in stats and trainer.log_max_allowance:
+            trainer.pipeline.record_valid_pts(stats["n_valid_pts"], trainer.n_coarse)
+        if count:
+            rays_counter["n"] += feed_in["rays_o"].shape[1]
         return stats
 
     for epoch in range(warmup_steps):
@@ -64,11 +74,11 @@ def main():
 
     t0 = time.perf_counter()
     for epoch in range(warmup_steps, warmup_steps + timed_steps):
-        stats = one_step(epoch)
+        stats = one_step(epoch, count=True)
     final_loss = float(stats["loss"])
     elapsed = time.perf_counter() - t0
 
-    rays_per_sec = timed_steps * n_rays / elapsed
+    rays_per_sec = rays_counter["n"] / elapsed
     baseline = 2.0e5  # reference ArcNerf NGP GPU throughput (see header)
     assert final_loss == final_loss, "loss is NaN"
     print(json.dumps({
