@@ -288,8 +288,11 @@ class ArcNerfTrainer:
             return np.ones(3, dtype=np.float32)
         return None
 
-    def render_image(self, sample, chunk_rays=8192, bkg_color=None):
-        """Render a full image by chunking rays; returns dict of (H, W, ...)."""
+    def render_image(self, sample, chunk_rays=None, bkg_color=None):
+        """Render a full image by chunking rays (model.chunk_rays cfg);
+        returns dict of (H, W, ...)."""
+        if chunk_rays is None:
+            chunk_rays = min(int(self.model.get_chunk_rays()), 16384)
         h, w = int(sample["H"]), int(sample["W"])
         n = sample["rays_o"].shape[0]
         outs = []

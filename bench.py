@@ -29,8 +29,11 @@ def main():
 
     root = os.path.dirname(os.path.abspath(__file__))
     cfgs = load_configs(os.path.join(root, "configs", "expr", "synthetic_ngp.yaml"))
-    warmup_steps, timed_steps = 48, 96
-    n_rays = 4096
+    # one large fixed ray bucket: the masked-point compaction keeps the MLP
+    # budget constant, so large buckets cost barely more than small ones,
+    # and a single static shape means exactly one (slow, remote) compile.
+    warmup_steps, timed_steps = 40, 96
+    n_rays = 16384
     update_configs_by_dotlist(cfgs, [
         "--name", "bench_ngp",
         "--progress.epoch", str(warmup_steps + timed_steps),
@@ -51,10 +54,6 @@ def main():
 
     def one_step(epoch, count=False):
         trainer.run_optimize(epoch)
-        # dynamic batch sizing exactly as the trainer does: compaction keeps
-        # the MLP point budget fixed, so bigger ray buckets are nearly free
-        if trainer.log_max_allowance:
-            trainer.pipeline.update_dynamic_bs(epoch, trainer.log_max_allowance)
         batch = trainer.pipeline.get_train_batch(epoch)
         feed_in, _ = get_model_feed_in(batch)
         feed_in = shard_batch(feed_in, trainer.mesh)
