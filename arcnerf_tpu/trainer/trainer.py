@@ -272,6 +272,16 @@ class ArcNerfTrainer:
             {"params": params}, feed_in, inference_only=True, bound_state=bound_state
         )
 
+    def eval_params(self):
+        """Params used for rendering: debiased EMA shadow when configured
+        (reference applies the EMA in-place each step; here the raw params
+        stay pristine and eval picks the shadow)."""
+        if self.ema_decay and "ema" in self.state:
+            from .ema import ema_debiased
+
+            return ema_debiased(self.state["ema"], self.state["step"], self.ema_decay)
+        return self.state["params"]
+
     def eval_bkg_color(self, mode="val"):
         """Background color to composite at eval render time: the dataset's
         white_bkg / blend color (training composites random bkg onto gt, so
@@ -308,7 +318,7 @@ class ArcNerfTrainer:
                     chunk[k] = jnp.asarray(piece)[None]
             if bkg_color is not None:
                 chunk["bkg_color"] = jnp.tile(jnp.asarray(bkg_color, dtype=jnp.float32), (1, chunk_rays, 1))
-            out = self._render_chunk(self.state["params"], self.state["bound_state"], chunk)
+            out = self._render_chunk(self.eval_params(), self.state["bound_state"], chunk)
             outs.append({k: np.asarray(v[0])[: e - s] for k, v in out.items()
                          if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] == chunk_rays})
         merged = {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
@@ -370,6 +380,11 @@ class ArcNerfTrainer:
 
                 if (epoch + 1) % epoch_loss == 0:
                     jax.block_until_ready(stats["loss"])
+                    # occupancy ratio diagnostics (reference occ-ratio logging)
+                    fg_bs = self.state["bound_state"].get("fg") or {}
+                    if "bitfield" in fg_bs:
+                        occ_ratio = float(jnp.mean(fg_bs["bitfield"].astype(jnp.float32)))
+                        self.monitor.add_scalar("train/occ_ratio", occ_ratio, epoch + 1)
                     dt = time.time() - t_window
                     t_window = time.time()
                     loss_val = float(stats["loss"])

@@ -32,7 +32,7 @@ def main():
     # one large fixed ray bucket: the masked-point compaction keeps the MLP
     # budget constant, so large buckets cost barely more than small ones,
     # and a single static shape means exactly one (slow, remote) compile.
-    warmup_steps, timed_steps = 40, 96
+    warmup_steps, timed_steps = 40, 64
     n_rays = 16384
     update_configs_by_dotlist(cfgs, [
         "--name", "bench_ngp",
@@ -41,8 +41,8 @@ def main():
         "--progress.epoch_val", "-1",
         "--progress.epoch_save_checkpoint", "1000000",
         "--n_rays", str(n_rays),
-        "--dataset.train.n_imgs", "12",
-        "--dataset.train.wh", "[128,128]",
+        "--dataset.train.n_imgs", "10",
+        "--dataset.train.wh", "[96,96]",
         "--model.rays.n_sample", "128",
         "--model.obj_bound.volume.n_grid", "64",
         "--model.obj_bound.epoch_optim_warmup", "32",
