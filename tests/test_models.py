@@ -294,3 +294,20 @@ def test_gradients_flow():
     leaves = jax.tree_util.tree_leaves(grads)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert np.isfinite(total) and total > 0
+
+
+class TestSigmaBlend:
+
+    overrides = TestNeRFPP.overrides + [
+        "--model.background.bkg_blend", "sigma",
+        "--model.background.rays.add_inf_z", "False",
+    ]
+
+    def test_sigma_blend(self):
+        cfgs = load_model_cfgs("nerfpp.yaml", self.overrides)
+        feed = make_feed_in()
+        model, _, _, out = build_and_run(cfgs, feed, inference_only=False)
+        assert model.bkg_blend == "sigma"
+        check_rgb_keys(out, False, True)
+        _, _, _, out_inf = build_and_run(cfgs, feed, inference_only=True)
+        check_rgb_keys(out_inf, True, True)
