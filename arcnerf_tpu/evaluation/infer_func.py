@@ -62,6 +62,7 @@ class Inferencer:
         v_range = tuple(get_value_from_cfgs_field(render_cfgs, "v_range", [-0.5, 0.0]))
         n_rot = get_value_from_cfgs_field(render_cfgs, "n_rot", 3)
         fps = get_value_from_cfgs_field(render_cfgs, "fps", 20)
+        bkg_color = get_value_from_cfgs_field(render_cfgs, "bkg_color", None)
         if not isinstance(types, list):
             types = [types]
         if not isinstance(n_cam, list):
@@ -76,7 +77,7 @@ class Inferencer:
                     mode, radius, n, u_start=u_start, v_ratio=v_ratio, v_range=v_range, n_rot=n_rot, close=True
                 )
             cams = [PerspectiveCamera(self.intrinsic, c2ws[i], self.W, self.H) for i in range(n)]
-            jobs.append({"mode": mode, "cams": cams, "fps": fps})
+            jobs.append({"mode": mode, "cams": cams, "fps": fps, "bkg_color": bkg_color})
         return jobs
 
     @staticmethod
@@ -138,7 +139,8 @@ class Inferencer:
                     "rays_o": np.asarray(ro), "rays_d": np.asarray(rd), "rays_r": np.asarray(rr),
                     "H": self.H, "W": self.W,
                 }
-                imgs = render_full_image(render_chunk_fn, sample, chunk_rays)
+                imgs = render_full_image(render_chunk_fn, sample, chunk_rays,
+                                         bkg_color=job.get("bkg_color"))
                 frames.append(imgs["rgb"])
             path = os.path.join(out_dir, "render_{}{}.mp4".format(job["mode"], suffix))
             write_video(path, frames, job["fps"])

@@ -142,8 +142,11 @@ class FullModel(nn.Module):
             radiance_all = jnp.concatenate([radiance_fg, radiance_bkg], 1)
             zvals_all = jnp.concatenate([zvals_fg, zvals_bkg], 1)
 
+            # the reference forces fg add_inf_z=True in sigma mode
+            # (full_model.py:36): the joint march ends with an inf tail so
+            # the last background shell still contributes
             out_all = self.fg_model.ray_marching_wrap(
-                sigma_all, radiance_all, zvals_all, inference_only=inference_only
+                sigma_all, radiance_all, zvals_all, add_inf_z=True, inference_only=inference_only
             )
             out_all = self.fg_model.output_get_progress(out_all, get_progress, sigma_fg.shape[1])
 
