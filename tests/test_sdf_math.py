@@ -36,8 +36,10 @@ class TestNeusMath:
         # fully-outside regions (start/end of the ray) are transparent;
         # around and inside the surface (sdf <= 0) alpha saturates
         assert alpha[0, :6].max() < 1e-4 and alpha[0, -6:].max() < 1e-4
-        inside = np.asarray(mid_sdf[0]) < -0.3
-        assert alpha[0][inside].min() > 0.9
+        # entering (descending-sdf) side saturates once inside; the exit
+        # side (rising sdf, slope clamped to 0) contributes ~nothing
+        entering_inside = (np.asarray(mid_sdf[0]) < -0.3) & (np.arange(31) < 16)
+        assert alpha[0][entering_inside].min() > 0.9
 
     def test_alpha_scale_sharpens(self):
         fixture = make_sample_rays(n_pts=32)
@@ -46,8 +48,10 @@ class TestNeusMath:
         slope = jnp.minimum(jnp.asarray(fixture["mid_slope"]), 0.0)
         a_lo = np.asarray(sdf_to_alpha(mid_sdf, zvals, slope, s=4.0))
         a_hi = np.asarray(sdf_to_alpha(mid_sdf, zvals, slope, s=64.0))
-        # higher scale concentrates alpha: fewer bins above half-max
-        assert (a_hi[0] > 0.5 * a_hi.max()).sum() <= (a_lo[0] > 0.5 * a_lo.max()).sum()
+        # higher scale -> sharper onset: just OUTSIDE the surface
+        # (sdf ~ +0.5) the high-scale alpha is much smaller
+        near_out = np.argmin(np.abs(np.asarray(mid_sdf[0][:16]) - 0.5))
+        assert a_hi[0, near_out] < a_lo[0, near_out]
 
 
 class TestVolSDFMath:
