@@ -8,13 +8,14 @@ optimize :408-410, surface_render :412-464).
 TPU-first differences:
 - no dynamic ray partitioning: all rays are evaluated with static shapes;
   invalid rays get defaults via jnp.where (update_values_for_invalid_rays),
-- no dynamic-length point compaction: invalid points already repeat the last
-  valid zval (handle_valid_mask_zvals), so their marching deltas are 0 and
-  they contribute nothing; the per-point MLP runs the full static (B, n_pts)
-  grid. (The CUDA "compact + scatter-back" trick trades gather overhead for
-  fewer MLP FLOPs — on TPU, dense batches at static shape keep the MXU fed.)
-- dynamic batch size becomes a measured valid-point ratio reported in
-  output['n_valid_pts'] for the trainer's recompile-free ray-budget logic.
+- point compaction at a STATIC budget: instead of the CUDA dynamic-length
+  boolean compaction, valid points are sorted first (one stable argsort)
+  and only ``obj_bound.log_max_allowance`` points feed the MLP, results
+  scattered back (see get_sigma_radiance_by_mask_pts). Invalid points keep
+  sigma=0; their left-compacted zvals duplicate the last valid sample so
+  ray marching assigns them zero weight either way,
+- dynamic batch size becomes a measured valid-point count reported in
+  output['n_valid_pts'] for the trainer's recompile-free ray-bucket logic.
 """
 
 import jax
