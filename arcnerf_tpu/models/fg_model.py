@@ -9,11 +9,13 @@ TPU-first differences:
 - no dynamic ray partitioning: all rays are evaluated with static shapes;
   invalid rays get defaults via jnp.where (update_values_for_invalid_rays),
 - point compaction at a STATIC budget: instead of the CUDA dynamic-length
-  boolean compaction, valid points are sorted first (one stable argsort)
-  and only ``obj_bound.log_max_allowance`` points feed the MLP, results
-  scattered back (see get_sigma_radiance_by_mask_pts). Invalid points keep
-  sigma=0; their left-compacted zvals duplicate the last valid sample so
-  ray marching assigns them zero weight either way,
+  boolean compaction, the k-th globally-valid point is located by a
+  cumsum+searchsorted over per-ray prefix masks (no total-size sort) and
+  only ``obj_bound.log_max_allowance`` points feed the MLP, results
+  scattered back (see compact_point_eval). Invalid points keep sigma=0
+  (or repeat the last valid value for sdf); their left-compacted zvals
+  duplicate the last valid sample so ray marching assigns them zero
+  weight either way,
 - dynamic batch size becomes a measured valid-point count reported in
   output['n_valid_pts'] for the trainer's recompile-free ray-bucket logic.
 """
@@ -122,20 +124,61 @@ class FgModel(Base3dModel):
     def _forward(self, inputs, inference_only=False, get_progress=False, cur_epoch=0, total_epoch=300000):
         raise NotImplementedError("implement _forward in the concrete model")
 
+    def compact_point_eval(self, fn, pts, dirs, mask_pts, budget, fill="zero"):
+        """Evaluate ``fn(pts, dirs) -> tuple of (N, ...) arrays`` on only the
+        first ``budget`` valid points, scattering results back to the full
+        (N,) layout. fill='zero' leaves invalid slots at 0 (matches the
+        reference's zero-sigma fill); fill='repeat_last' repeats each ray's
+        last valid value — exact for left-compacted zvals whose invalid
+        slots duplicate the last valid sample (required for sdf, where 0
+        means "on the surface").
+
+        Static-shape replacement of the reference's dynamic boolean
+        compaction + scatter-back (fg_model.py:264). masks are per-ray
+        PREFIXES (handle_valid_mask_zvals left-compacts; merge_full_mask
+        preserves valid-first), so the k-th valid point globally is
+        (ray r, slot k - offset[r]) with offset = exclusive cumsum of
+        per-ray valid counts — a searchsorted over B rays instead of a
+        total-size sort.
+        """
+        n_rays, n_pts = mask_pts.shape
+        total = n_rays * n_pts
+        n_valid = jnp.sum(mask_pts, axis=1)  # (B,)
+        offsets = jnp.cumsum(n_valid) - n_valid  # exclusive prefix sum
+        total_valid = offsets[-1] + n_valid[-1]
+        k = jnp.arange(budget)
+        ray_id = jnp.clip(jnp.searchsorted(offsets, k, side="right") - 1, 0, n_rays - 1)
+        slot = jnp.clip(k - offsets[ray_id], 0, n_pts - 1)
+        sel = ray_id * n_pts + slot
+        sel_valid = k < total_valid
+
+        outs_c = fn(pts[sel], dirs[sel])
+        # out-of-budget rows all clamp onto the same (last) index and would
+        # collide with a real point — divert them to a dump slot at `total`
+        sel_safe = jnp.where(sel_valid, sel, total)
+        outs = []
+        last_idx = jnp.maximum(n_valid - 1, 0)  # (B,) last valid slot per ray
+        for o in outs_c:
+            buf = jnp.zeros((total + 1,) + o.shape[1:], dtype=o.dtype)
+            full = buf.at[sel_safe].set(o)[:total]
+            if fill == "repeat_last":
+                grid = full.reshape((n_rays, n_pts) + o.shape[1:])
+                last = jnp.take_along_axis(
+                    grid, last_idx.reshape((n_rays, 1) + (1,) * (o.ndim - 1)), axis=1
+                )
+                m = mask_pts.reshape((n_rays, n_pts) + (1,) * (o.ndim - 1))
+                full = jnp.where(m, grid, last).reshape(full.shape)
+            outs.append(full)
+        return tuple(outs)
+
     def get_sigma_radiance_by_mask_pts(
         self, geo_net, radiance_net, rays_o, rays_d, zvals, mask_pts=None, inference_only=False
     ):
-        """Evaluate sigma/radiance at the (ray, sample) points.
-
-        Static-shape compaction (replaces reference fg_model.py:264's
-        dynamic boolean compaction + scatter-back): when a point budget is
-        configured (obj_bound.log_max_allowance) and mask_pts marks most
-        points invalid, sort points by validity (stable argsort — one XLA
-        sort), run the MLP only on the first ``budget`` points, and scatter
-        results back. Invalid points keep sigma=0 — their left-compacted
-        zvals duplicate the last valid sample, so ray marching gives them
-        zero weight either way.
-        """
+        """Evaluate sigma/radiance at the (ray, sample) points; compacted to
+        the static point budget (obj_bound.log_max_allowance) when masks
+        mark most points invalid. Invalid points keep sigma=0 — their
+        left-compacted zvals duplicate the last valid sample, so ray
+        marching gives them zero weight either way."""
         n_rays, n_pts = zvals.shape
         total = n_rays * n_pts
         pts = get_ray_points_by_zvals(rays_o, rays_d, zvals).reshape(-1, 3)
@@ -149,16 +192,9 @@ class FgModel(Base3dModel):
             sigma, radiance = self._forward_pts_dir(geo_net, radiance_net, pts, dirs)
             return sigma.reshape(n_rays, n_pts), radiance.reshape(n_rays, n_pts, 3)
 
-        valid = mask_pts.reshape(-1)
-        order = jnp.argsort(~valid, stable=True)  # valid points first
-        sel = order[:budget]
-        sel_valid = valid[sel]
-        sigma_c, radiance_c = self._forward_pts_dir(geo_net, radiance_net, pts[sel], dirs[sel])
-        sigma_c = jnp.where(sel_valid, sigma_c, 0.0)
-        radiance_c = jnp.where(sel_valid[:, None], radiance_c, 0.0)
-
-        sigma = jnp.zeros((total,), dtype=sigma_c.dtype).at[sel].set(sigma_c)
-        radiance = jnp.zeros((total, 3), dtype=radiance_c.dtype).at[sel].set(radiance_c)
+        sigma, radiance = self.compact_point_eval(
+            lambda p, d: self._forward_pts_dir(geo_net, radiance_net, p, d), pts, dirs, mask_pts, budget
+        )
         return sigma.reshape(n_rays, n_pts), radiance.reshape(n_rays, n_pts, 3)
 
     # ----------------------------------------------------- invalid-ray fill

@@ -55,11 +55,23 @@ class SdfModel(FgModel):
         self, geo_net, radiance_net, rays_o, rays_d, zvals, mask_pts=None, inference_only=False
     ):
         """(B, n_pts) grid evaluation -> sdf (B, N), radiance (B, N, 3),
-        normal (B, N, 3). Static shapes; see FgModel note on compaction."""
+        normal (B, N, 3). Static shapes; when a point budget is set and
+        masks mark most points invalid, only the budgeted prefix of valid
+        points feeds the (grad-carrying) MLP; invalid slots repeat the
+        last valid value (their zvals duplicate it, so this is exact —
+        zero-fill would wrongly mean sdf=0 = on-surface)."""
         n_rays, n_pts = zvals.shape
         pts = get_ray_points_by_zvals(rays_o, rays_d, zvals).reshape(-1, 3)
         dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, n_pts, 3)).reshape(-1, 3)
-        sdf, radiance, normal = self._forward_pts_dir_with_normal(geo_net, radiance_net, pts, dirs)
+
+        budget = self.get_render_cfgs("max_allowance")
+        if mask_pts is not None and isinstance(budget, int) and 0 < budget < n_rays * n_pts:
+            sdf, radiance, normal = self.compact_point_eval(
+                lambda p, d: self._forward_pts_dir_with_normal(geo_net, radiance_net, p, d),
+                pts, dirs, mask_pts, budget, fill="repeat_last",
+            )
+        else:
+            sdf, radiance, normal = self._forward_pts_dir_with_normal(geo_net, radiance_net, pts, dirs)
         return sdf.reshape(n_rays, n_pts), radiance.reshape(n_rays, n_pts, 3), normal.reshape(n_rays, n_pts, 3)
 
     def surface_render(

@@ -50,3 +50,44 @@ def test_compaction_matches_dense():
 
     np.testing.assert_allclose(np.asarray(out_compact["rgb"]), np.asarray(out_dense["rgb"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_compact["depth"]), np.asarray(out_dense["depth"]), atol=1e-5)
+
+
+def test_sdf_compaction_matches_dense():
+    """NeuS-NGP path: repeat_last fill must reproduce the dense sdf eval
+    (zero-fill would wrongly put invalid slots on the surface)."""
+    overrides = ["--model.rays.n_sample", "32", "--model.rays.n_importance", "0",
+                 "--model.obj_bound.volume.n_grid", "16",
+                 "--model.geometry.encoder.hashmap_size", "12",
+                 "--model.geometry.encoder.n_levels", "4",
+                 "--model.geometry.encoder.max_res", "64",
+                 "--model.obj_bound.log_max_allowance", "9"]  # 512-pt budget
+    cfgs = load_configs(os.path.join(CONFIG_DIR, "neus_ngp.yaml"))
+    update_configs_by_dotlist(cfgs, overrides)
+
+    rng = np.random.default_rng(1)
+    n_rays = 8
+    rays_o = rng.normal(size=(1, n_rays, 3)).astype(np.float32)
+    rays_o = rays_o / np.linalg.norm(rays_o, axis=-1, keepdims=True) * 2.5
+    rays_d = -rays_o / np.linalg.norm(rays_o, axis=-1, keepdims=True)
+    feed = {
+        "img": jnp.asarray(rng.uniform(size=(1, n_rays, 3)).astype(np.float32)),
+        "rays_o": jnp.asarray(rays_o),
+        "rays_d": jnp.asarray(rays_d),
+        "rays_r": jnp.full((1, n_rays, 1), 1e-3, dtype=jnp.float32),
+    }
+
+    model = build_model(cfgs)
+    bound_state = model.init_bound_state()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        feed, inference_only=True, bound_state=bound_state,
+    )
+    out_compact = model.apply(variables, feed, inference_only=True, bound_state=bound_state)
+
+    cfgs_dense = load_configs(os.path.join(CONFIG_DIR, "neus_ngp.yaml"))
+    update_configs_by_dotlist(cfgs_dense, overrides[:-2] + ["--model.obj_bound.log_max_allowance", "-1"])
+    model_dense = build_model(cfgs_dense)
+    out_dense = model_dense.apply(variables, feed, inference_only=True, bound_state=bound_state)
+
+    np.testing.assert_allclose(np.asarray(out_compact["rgb"]), np.asarray(out_dense["rgb"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_compact["depth"]), np.asarray(out_dense["depth"]), atol=1e-4)
