@@ -127,6 +127,7 @@ class ArcNerfTrainer:
             import math
 
             self.log_max_allowance = int(math.log2(self.log_max_allowance))
+        self._warned_budget_overflow = False
 
         # jitted functions (per-batch-shape cache handled by jax)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
@@ -380,6 +381,21 @@ class ArcNerfTrainer:
 
                 if (epoch + 1) % epoch_loss == 0:
                     jax.block_until_ready(stats["loss"])
+                    # over-budget valid points are silently dropped by the
+                    # static compaction — surface it once (host read is fine
+                    # here: we are already at the sync cadence)
+                    if (not self._warned_budget_overflow and self.log_max_allowance
+                            and "n_valid_pts" in stats):
+                        n_valid = int(stats["n_valid_pts"])
+                        budget = 1 << self.log_max_allowance
+                        if n_valid > budget:
+                            self.logger.add_log(
+                                "valid pts {} > compaction budget 2^{}={}; over-budget points are "
+                                "dropped — raise model.obj_bound.log_max_allowance or reduce rays/"
+                                "samples".format(n_valid, self.log_max_allowance, budget),
+                                level="warning",
+                            )
+                            self._warned_budget_overflow = True
                     # occupancy ratio diagnostics (reference occ-ratio logging)
                     fg_bs = self.state["bound_state"].get("fg") or {}
                     if "bitfield" in fg_bs:
