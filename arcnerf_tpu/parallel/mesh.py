@@ -34,12 +34,19 @@ def get_mesh(n_devices=None, axis_name="data"):
 
 
 def shard_batch(batch, mesh, axis_name="data"):
-    """Place every leading-axis array of a batch dict across the mesh."""
-    sharding = NamedSharding(mesh, P(axis_name))
+    """Place a batch dict across the mesh: shard on the leading axis when it
+    divides the device count, else on axis 1 — trainer ray batches are
+    (1, n_rays, ...) so the rays shard and GSPMD propagates the layout
+    through the model's (B, N) -> (B*N) flatten. Unshardable leaves
+    replicate."""
+    size = mesh.devices.size
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.devices.size == 0:
-            return jax.device_put(x, sharding)
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            if x.shape[0] >= size and x.shape[0] % size == 0:
+                return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+            if x.ndim >= 2 and x.shape[1] >= size and x.shape[1] % size == 0:
+                return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(put, batch)

@@ -424,7 +424,7 @@ class ArcNerfTrainer:
                 epoch_infer = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_infer", -1))
                 if epoch_infer > 0 and (epoch + 1) % epoch_infer == 0:
                     self.infer_epoch(epoch + 1)
-                if is_master() and (epoch + 1) % epoch_save == 0:
+                if is_master() and epoch_save > 0 and (epoch + 1) % epoch_save == 0:
                     save_model(self.ckpt_dir, self.state, epoch + 1, self.logger)
                 if is_master() and time.time() - self._last_save_time > save_time:
                     save_model(self.ckpt_dir, self.state, epoch + 1, self.logger, keep_name="latest")

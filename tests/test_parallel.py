@@ -27,13 +27,22 @@ def test_mesh_and_shard_batch():
         "scalar": jnp.ones(()),
     }
     sharded = shard_batch(batch, mesh)
-    # batch dim 1 is not divisible by 8 -> replicated; check placement works
+    # trainer batches are (1, n_rays, ...): leading dim can't shard, the
+    # ray axis must — each device holds (1, 8, 3)
     assert sharded["rays_o"].shape == (1, 64, 3)
+    ray_shards = {s.data.shape for s in sharded["rays_o"].addressable_shards}
+    assert ray_shards == {(1, 8, 3)}
+    # scalars replicate
+    assert {s.data.shape for s in sharded["scalar"].addressable_shards} == {()}
 
     flat = {"rays": jnp.ones((64, 3))}
     sharded_flat = shard_batch(flat, mesh)
     shard_shapes = {s.data.shape for s in sharded_flat["rays"].addressable_shards}
     assert shard_shapes == {(8, 3)}  # 64 rays / 8 devices
+
+    # odd ray counts that divide neither axis stay replicated
+    odd = shard_batch({"rays_o": jnp.ones((1, 63, 3))}, mesh)
+    assert {s.data.shape for s in odd["rays_o"].addressable_shards} == {(1, 63, 3)}
 
 
 def test_sharded_grad_matches_single_device():
