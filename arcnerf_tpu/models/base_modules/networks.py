@@ -270,9 +270,9 @@ class _FusedMLP(nn.Module):
     - 'xla' (default): back-to-back Dense layers that XLA fuses,
     - 'pallas': the ops.fused_mlp kernel — all weights VMEM-resident, rows
       streamed in tiles, channel dims padded to the 128-lane MXU tile. Its
-      forward beats XLA (~17% at 131k rows on v5e); its backward recomputes
-      activations, trading HBM writes for FLOPs — pick it for
-      inference-heavy paths.
+      forward beats XLA (~17% at 131k rows on v5e); its backward reads bf16
+      pre-activations saved by the differentiated forward (2 matmuls/layer
+      instead of 3) and measures at or slightly ahead of the XLA chain.
     """
 
     W: int = 64

@@ -8,9 +8,13 @@ NO intermediate HBM traffic. Channel dims are zero-padded to 128 lanes so
 the systolic array runs full-width (a 64-wide tcnn-style MLP only fills a
 quarter of the MXU otherwise).
 
-Forward runs bf16 with f32 accumulation; backward is a custom VJP that
-recomputes activations in-kernel (they're cheap; HBM writes are not) and
-accumulates dW across row tiles via sequential-grid output revisiting.
+Forward runs bf16 with f32 accumulation; backward is a custom VJP. The
+differentiated forward additionally streams each hidden pre-activation to
+HBM as bf16 (one (B, 128) tile per hidden layer — sequential-write cheap),
+so the backward does only the 2 matmuls per layer it must (dW and dX)
+instead of re-running the forward chain (3 per layer). dW accumulates
+across row tiles via sequential-grid output revisiting. The undifferentiated
+(inference) path writes no residuals.
 
 Falls back to a pure-jnp implementation off-TPU (and under
 ``interpret=True`` for tests).
@@ -41,42 +45,44 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _fwd_kernel(x_ref, *refs, n_layers, activation):
+def _fwd_kernel(x_ref, *refs, n_layers, activation, save_pre):
     w_refs = refs[:n_layers]
     out_ref = refs[n_layers]
+    pre_refs = refs[n_layers + 1:]  # n_layers-1 hidden pre-activation tiles
     h = x_ref[:].astype(jnp.bfloat16)
     for i in range(n_layers):
-        h = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+        z = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
         if i < n_layers - 1:
-            h = activation(h)
-        h = h.astype(jnp.bfloat16)
+            if save_pre:
+                pre_refs[i][:] = z.astype(jnp.bfloat16)
+            z = activation(z)
+        h = z.astype(jnp.bfloat16)
     out_ref[:] = h.astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, *refs, n_layers, activation):
-    """Recompute forward activations, then backprop. Outputs: dx tile +
-    per-layer dw accumulated across the sequential grid."""
+    """Backprop from saved pre-activations (no forward recompute — only the
+    dW and dX matmuls run). Outputs: dx tile + per-layer dw accumulated
+    across the sequential grid."""
     w_refs = refs[:n_layers]
-    dx_ref = refs[n_layers]
-    dw_refs = refs[n_layers + 1:]
+    pre_refs = refs[n_layers:2 * n_layers - 1]
+    dx_ref = refs[2 * n_layers - 1]
+    dw_refs = refs[2 * n_layers:]
 
-    # forward recompute, keeping pre/post activations
-    h = x_ref[:].astype(jnp.bfloat16)
-    posts = [h]
+    # rebuild per-layer inputs from the saved pre-activations (elementwise)
+    posts = [x_ref[:].astype(jnp.bfloat16)]
     pres = []
-    for i in range(n_layers):
-        z = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+    for i in range(n_layers - 1):
+        z = pre_refs[i][:].astype(jnp.float32)
         pres.append(z)
-        h = activation(z) if i < n_layers - 1 else z
-        h = h.astype(jnp.bfloat16)
-        posts.append(h)
+        posts.append(activation(z).astype(jnp.bfloat16))
 
     # backward
     step = pl.program_id(0)
     g = g_ref[:].astype(jnp.float32)
     for i in reversed(range(n_layers)):
         if i < n_layers - 1:
-            # d(activation): use jvp of activation at pre-activation
+            # d(activation): vjp of activation at the pre-activation
             _, dact = jax.vjp(activation, pres[i])
             (g,) = dact(g)
         dw = jnp.dot(
@@ -112,10 +118,11 @@ def fused_mlp(x, weights, activation=jax.nn.relu, tile=DEFAULT_TILE, interpret=F
     Returns (B, D_out) f32. All dims are padded to 128 internally; B is
     padded to ``tile``. ``activation`` applies to every layer but the last.
     """
-    return _fused_mlp_fwd(x, weights, activation, tile, interpret)[0]
+    # inference path: no residual writes (jax.grad uses _fused_mlp_fwd)
+    return _run_forward(x, weights, activation, tile, interpret)
 
 
-def _run_forward(x, weights, activation, tile, interpret):
+def _run_forward(x, weights, activation, tile, interpret, save_pre=False):
     b, d_in = x.shape
     dims = [d_in] + [w.shape[1] for w in weights]
     dims_p = [_round_up(d, LANE) for d in dims]
@@ -130,28 +137,40 @@ def _run_forward(x, weights, activation, tile, interpret):
     ]
 
     grid = (bp // tile,)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_layers=n_layers, activation=activation),
+    out_specs = [pl.BlockSpec((tile, dims_p[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((bp, dims_p[-1]), jnp.float32)]
+    if save_pre:
+        out_specs += [
+            pl.BlockSpec((tile, dims_p[j + 1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for j in range(n_layers - 1)
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((bp, dims_p[j + 1]), jnp.bfloat16) for j in range(n_layers - 1)
+        ]
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_layers=n_layers, activation=activation, save_pre=save_pre),
         grid=grid,
         in_specs=[pl.BlockSpec((tile, dims_p[0]), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + [
             pl.BlockSpec((dims_p[j], dims_p[j + 1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
             for j in range(n_layers)
         ],
-        out_specs=pl.BlockSpec((tile, dims_p[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, dims_p[-1]), jnp.float32),
+        out_specs=out_specs if save_pre else out_specs[0],
+        out_shape=out_shapes if save_pre else out_shapes[0],
         interpret=interpret,
     )(xp, *wp)
-    return out[:b, : dims[-1]]
+    if save_pre:
+        return outs[0][:b, : dims[-1]], list(outs[1:])
+    return outs[:b, : dims[-1]]
 
 
 def _fused_mlp_fwd(x, weights, activation, tile, interpret):
-    out = _run_forward(x, weights, activation, tile, interpret)
-    return out, (x, weights)
+    out, pres = _run_forward(x, weights, activation, tile, interpret, save_pre=True)
+    return out, (x, weights, pres)
 
 
 def _fused_mlp_bwd(activation, tile, interpret, res, g):
-    x, weights = res
+    x, weights, pres = res
     b, d_in = x.shape
     dims = [d_in] + [w.shape[1] for w in weights]
     dims_p = [_round_up(d, LANE) for d in dims]
@@ -184,11 +203,15 @@ def _fused_mlp_bwd(activation, tile, interpret, res, g):
         + [
             pl.BlockSpec((dims_p[j], dims_p[j + 1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
             for j in range(n_layers)
+        ]
+        + [
+            pl.BlockSpec((tile, dims_p[j + 1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for j in range(n_layers - 1)
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(xp, gp, *wp)
+    )(xp, gp, *wp, *pres)
 
     dx = outs[0][:b, :d_in]
     dws = [
