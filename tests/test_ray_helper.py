@@ -209,6 +209,44 @@ def test_handle_valid_mask_zvals():
     assert int(jnp.sum(m_c)) == 1
 
 
+def test_ndc_rays():
+    """NDC projection (llff-style): origins land on the near plane (o2 at
+    near -> o2' = -1), points at infinity map toward z' = 1, and d' = 0
+    means the ray goes straight to the image center."""
+    intrinsic = np.eye(3)
+    intrinsic[0, 0] = intrinsic[1, 1] = 50.0
+    W, H = 100, 80
+    rays_o = jnp.asarray([[0.0, 0.0, 0.0], [0.3, -0.2, 0.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])  # forward = -z
+    o_ndc, d_ndc = rh.get_ndc_rays(rays_o, rays_d, W, H, jnp.asarray(intrinsic), near=1.0)
+    # on the near plane: o2 = 1 + 2*near/(-near) = -1
+    np.testing.assert_allclose(np.asarray(o_ndc[:, 2]), [-1.0, -1.0], atol=1e-6)
+    # d2 = -2*near/oz = 2: o2 + t*d2 -> 1 as t -> 1 (infinity)
+    np.testing.assert_allclose(np.asarray(o_ndc[:, 2] + d_ndc[:, 2]), [1.0, 1.0], atol=1e-6)
+    # the centered ray stays centered
+    np.testing.assert_allclose(np.asarray(o_ndc[0, :2]), [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_ndc[0, :2]), [0.0, 0.0], atol=1e-6)
+    # the off-center ray's NDC x/y sign matches -x/-z convention
+    expected = -1.0 / (W / 100.0) * 0.3 / -1.0
+    assert abs(float(o_ndc[1, 0]) - expected) < 1e-6
+
+
+def test_ray_marching_noise_and_weights_only():
+    n_pts = 32
+    key = jax.random.PRNGKey(0)
+    zvals = jnp.broadcast_to(jnp.linspace(2.0, 4.0, n_pts), (4, n_pts))
+    sigma = jnp.full((4, n_pts), 2.0)
+    radiance = jnp.full((4, n_pts, 3), 0.5)
+    out_clean = rh.ray_marching(sigma, radiance, zvals, add_inf_z=True)
+    out_noise = rh.ray_marching(sigma, radiance, zvals, add_inf_z=True, noise_std=5.0, key=key)
+    # noise perturbs the weights but keeps them a valid distribution
+    assert not np.allclose(np.asarray(out_clean["weights"]), np.asarray(out_noise["weights"]))
+    assert float(jnp.max(jnp.sum(out_noise["weights"], -1))) <= 1.0 + 1e-4
+
+    out_w = rh.ray_marching(sigma, radiance, zvals, add_inf_z=True, weights_only=True)
+    assert "weights" in out_w and out_w.get("rgb") is None or "rgb" not in out_w
+
+
 def test_make_sample_rays():
     out = rh.make_sample_rays(near=2.0, far=4.0, n_pts=32)
     assert out["zvals"].shape == (1, 32) and out["vals"].shape == (1, 32)
