@@ -49,17 +49,16 @@ def main():
         lambda rngs, feed: model.init(rngs, feed, inference_only=True, bound_state=bound_state)
     )({"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, tiny)
 
-    params = variables["params"]
+    # the reference hard-requires a checkpoint here (inference.py:44)
     model_pt = get_value_from_cfgs_field(cfgs, "model_pt", None)
-    if model_pt and os.path.exists(str(model_pt)):
-        raw, step = load_raw_state(str(model_pt))
-        params = restore_subtree(params, raw["params"])
-        if raw.get("bound_state"):
-            bound_state = restore_subtree(bound_state, raw["bound_state"])
-            bound_state = jax.tree_util.tree_map(jnp.asarray, bound_state)
-        logger.add_log("restored checkpoint {} (step {})".format(model_pt, step))
-    else:
-        logger.warn("no model_pt given/found — inferring from a random init")
+    assert model_pt is not None, "Please specify the model_pt for inference"
+    assert os.path.exists(str(model_pt)), "model_pt {} does not exist".format(model_pt)
+    raw, step = load_raw_state(str(model_pt))
+    params = restore_subtree(variables["params"], raw["params"])
+    if raw.get("bound_state"):
+        bound_state = restore_subtree(bound_state, raw["bound_state"])
+        bound_state = jax.tree_util.tree_map(jnp.asarray, bound_state)
+    logger.add_log("restored checkpoint {} (step {})".format(model_pt, step))
 
     render_chunk = jax.jit(
         lambda feed: model.apply({"params": params}, feed, inference_only=True, bound_state=bound_state)
