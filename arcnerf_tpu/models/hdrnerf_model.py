@@ -71,7 +71,11 @@ class HDRNeRF(NeRF):
         rays_o, rays_d = inputs["rays_o"], inputs["rays_d"]
         zvals, mask_pts = inputs["zvals"], inputs["mask_pts"]
         bkg_color = inputs.get("bkg_color", None)
-        exp_time = inputs["exp_time"]
+        # datasets without per-image exposure (anything but HDRReal) imply
+        # unit exposure: log(1) = 0 shift, LDR == tone-mapped HDR
+        exp_time = inputs.get("exp_time", None)
+        if exp_time is None:
+            exp_time = jnp.ones((rays_o.shape[0],), dtype=rays_o.dtype)
         if exp_time.ndim > 1:
             exp_time = exp_time.reshape(-1)
         output = {}

@@ -127,6 +127,8 @@ class ArcNerfTrainer:
             import math
 
             self.log_max_allowance = int(math.log2(self.log_max_allowance))
+        else:
+            self.log_max_allowance = None  # no point budget (-1) -> disable
         self._warned_budget_overflow = False
 
         # jitted functions (per-batch-shape cache handled by jax)
