@@ -226,6 +226,15 @@ class TestHDRNeRF:
         check_rgb_keys(out_inf, True, True)
         assert "hdr" in out_inf
 
+    def test_unit_exposure_default(self):
+        """Without per-image exposure in the batch (non-HDRReal datasets)
+        the model assumes exp_time=1 instead of raising."""
+        cfgs = load_model_cfgs("hdrnerf.yaml", self.overrides)
+        feed = make_feed_in()  # no exp_time key
+        assert "exp_time" not in feed
+        _, _, _, out = build_and_run(cfgs, feed, inference_only=True)
+        assert "rgb" in out and bool(jnp.all(jnp.isfinite(out["rgb"])))
+
 
 class TestNeRFPP:
 
