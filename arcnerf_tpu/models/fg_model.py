@@ -30,16 +30,36 @@ from .base_3d_model import Base3dModel
 from .base_modules.obj_bound import build_obj_bound
 
 
+# obj-bound objects are stateless (functional state passes separately), so
+# one instance per obj_bound config suffices; rebuilding per call is pure
+# trace-time waste (get_obj_bound is hit several times per forward trace).
+# Keyed by the serialized obj_bound subtree so in-place cfg edits still
+# rebuild correctly.
+_BOUND_CACHE = {}
+
+
+def _cached_obj_bound(model_cfgs):
+    from ..utils.cfgs import obj_to_dict
+
+    bound_cfgs = getattr(model_cfgs, "obj_bound", None)
+    key = repr(obj_to_dict(bound_cfgs)) if bound_cfgs is not None else None
+    hit = _BOUND_CACHE.get(key)
+    if hit is None:
+        hit = build_obj_bound(model_cfgs)
+        _BOUND_CACHE[key] = hit
+    return hit
+
+
 class FgModel(Base3dModel):
     """Foreground model; subclasses implement _forward over valid zvals."""
 
     # ------------------------------------------------------------ obj bound
     def get_obj_bound(self):
-        bound, _ = build_obj_bound(self.cfgs.model)
+        bound, _ = _cached_obj_bound(self.cfgs.model)
         return bound
 
     def get_obj_bound_type(self):
-        _, bound_type = build_obj_bound(self.cfgs.model)
+        _, bound_type = _cached_obj_bound(self.cfgs.model)
         return bound_type
 
     def init_bound_state(self):

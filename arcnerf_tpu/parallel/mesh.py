@@ -52,6 +52,19 @@ def shard_batch(batch, mesh, axis_name="data"):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(batch, mesh, axis_name="data"):
+    """Shard a (T, 1, n_rays, ...) stack of per-step ray batches on the ray
+    axis (axis 2). The leading axis is scan time — it must NOT shard."""
+    size = mesh.devices.size
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 3 and x.shape[2] >= size and x.shape[2] % size == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(None, None, axis_name)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate(tree, mesh):
     """Replicate a pytree (params/opt state) on every mesh device."""
     sharding = NamedSharding(mesh, P())

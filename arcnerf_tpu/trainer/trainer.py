@@ -34,7 +34,7 @@ from ..datasets.transforms import get_transforms
 from ..losses import build_loss
 from ..metrics import AverageDictCounter, build_metric, psnr
 from ..models import build_model
-from ..parallel.mesh import get_mesh, init_distributed, replicate, shard_batch
+from ..parallel.mesh import get_mesh, init_distributed, replicate, shard_batch, shard_stacked_batch
 from ..utils.cfgs import dump_configs, get_value_from_cfgs_field, valid_key_in_cfgs
 from ..utils.logger import Logger, Monitor, is_master
 from ..utils.model_io import load_model, save_model
@@ -69,6 +69,13 @@ class ArcNerfTrainer:
         # mesh: 1-axis data parallel over all local devices
         self.mesh = get_mesh()
         self.logger.add_log("Mesh: {} devices on axis 'data'".format(self.mesh.devices.size))
+        # keep ray batches divisible by the mesh so they always shard
+        # (non-divisible batches would silently replicate)
+        n_rays_cfg = int(get_value_from_cfgs_field(cfgs, "n_rays", 4096))
+        size = self.mesh.devices.size
+        if n_rays_cfg % size:
+            cfgs.n_rays = ((n_rays_cfg + size - 1) // size) * size
+            self.logger.add_log("n_rays {} -> {} (rounded up to mesh multiple)".format(n_rays_cfg, cfgs.n_rays))
 
         # model/loss/metric
         self.model = build_model(cfgs, self.logger)
@@ -131,8 +138,17 @@ class ArcNerfTrainer:
             self.log_max_allowance = None  # no point budget (-1) -> disable
         self._warned_budget_overflow = False
 
+        # fold the occupancy update into the jitted train step (one dispatch
+        # per step); scan_steps > 1 additionally runs whole strides of steps
+        # on-device under lax.scan (one dispatch per stride)
+        self._fold_optimize = bool(self.epoch_optim) and bool(
+            jax.tree_util.tree_leaves(self.state["bound_state"])
+        )
+        self.scan_steps = max(1, int(get_value_from_cfgs_field(cfgs.progress, "scan_steps", 1)))
+
         # jitted functions (per-batch-shape cache handled by jax)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._scan_steps_fn = jax.jit(self._scan_steps_impl, donate_argnums=(0,))
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._optimize_warmup = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, True))
         self._optimize_regular = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, False))
@@ -191,6 +207,30 @@ class ArcNerfTrainer:
 
     # ------------------------------------------------------------ train step
     def _train_step_impl(self, state, feed_in, key, cur_epoch):
+        bound_state = state["bound_state"]
+        if self._fold_optimize:
+            key, opt_key = jax.random.split(key)
+            # occupancy update folded into the step under lax.cond: one
+            # dispatch per step instead of an extra one every epoch_optim
+            # steps (reference runs model.optimize as a separate pass each
+            # epoch, arcnerf_trainer.py:501; on TPU the extra dispatch is a
+            # pure tunnel/latency tax). The branch only executes when taken.
+            cur_epoch_i = jnp.asarray(cur_epoch, jnp.int32)
+            do_opt = (cur_epoch_i > 0) & (cur_epoch_i % self.epoch_optim == 0)
+
+            def run_opt(bs):
+                if self.epoch_optim_warmup is not None:
+                    return jax.lax.cond(
+                        cur_epoch_i < self.epoch_optim_warmup,
+                        lambda b: self._optimize_impl(state["params"], b, opt_key, True),
+                        lambda b: self._optimize_impl(state["params"], b, opt_key, False),
+                        bs,
+                    )
+                return self._optimize_impl(state["params"], bs, opt_key, False)
+
+            bound_state = jax.lax.cond(do_opt, run_opt, lambda b: b, bound_state)
+            bound_state = jax.lax.stop_gradient(bound_state)
+
         def loss_fn(params):
             out = self.model.apply(
                 {"params": params},
@@ -198,7 +238,7 @@ class ArcNerfTrainer:
                 inference_only=False,
                 get_progress=False,
                 cur_epoch=cur_epoch,
-                bound_state=state["bound_state"],
+                bound_state=bound_state,
                 rngs={"sampling": key},
             )
             loss_dict = self.loss_factory(feed_in, out)
@@ -211,6 +251,7 @@ class ArcNerfTrainer:
         new_state = dict(state)
         new_state["params"] = params
         new_state["opt_state"] = opt_state
+        new_state["bound_state"] = bound_state
         new_state["step"] = state["step"] + 1
         if "ema" in state:
             new_state["ema"] = ema_update(state["ema"], params, new_state["step"], self.ema_decay)
@@ -258,7 +299,67 @@ class ArcNerfTrainer:
             )
         return new_state
 
+    def _scan_steps_impl(self, state, feed_stack, keys, epoch0):
+        """Run keys.shape[0] consecutive train steps on-device under
+        lax.scan: one dispatch (and one compile) per stride instead of per
+        step. feed_stack leaves are (T, ...) stacks of per-step batches."""
+        n = keys.shape[0]
+
+        def body(st, xs):
+            feed, key, t = xs
+            new_st, stats = self._train_step_impl(st, feed, key, epoch0 + t)
+            return new_st, stats
+
+        state, stats_seq = jax.lax.scan(body, state, (feed_stack, keys, jnp.arange(n)))
+        return state, stats_seq
+
+    def _stride_for(self, epoch, cadences, clip_warmup=-1):
+        """How many steps can run as one on-device stride without crossing a
+        host-side event boundary (logging/val/save/...). Events always land
+        exactly on stride ends."""
+        stride = min(self.scan_steps, self.total_epoch - epoch)
+        for c in cadences:
+            if c is not None and c > 0:
+                stride = min(stride, c - (epoch % c))
+        if clip_warmup > 0 and epoch < clip_warmup:
+            stride = min(stride, clip_warmup - epoch)
+        return max(1, stride)
+
+    def train_steps(self, epoch, stride):
+        """Run ``stride`` consecutive optimizer steps starting at ``epoch``;
+        stride > 1 runs them as ONE device dispatch via lax.scan. Returns the
+        stats of the last step."""
+        if stride <= 1:
+            batch = self.pipeline.get_train_batch(epoch)
+            feed_in, _ = get_model_feed_in(batch)
+            feed_in = shard_batch(feed_in, self.mesh)
+            self.key, sub = jax.random.split(self.key)
+            self.state, stats = self._train_step(self.state, feed_in, sub, epoch)
+            if "n_valid_pts" in stats and self.log_max_allowance:
+                # keep as device array; host sync happens only at the
+                # dynamic-bs update cadence inside the pipeline
+                self.pipeline.record_valid_pts(stats["n_valid_pts"], self.n_coarse)
+            return stats
+
+        feeds = []
+        for t in range(stride):
+            batch = self.pipeline.get_train_batch(epoch + t)
+            fi, _ = get_model_feed_in(batch)
+            feeds.append(fi)
+        feed_stack = {k: np.stack([np.asarray(f[k]) for f in feeds]) for k in feeds[0]}
+        feed_stack = shard_stacked_batch(feed_stack, self.mesh)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, stride)
+        self.state, stats_seq = self._scan_steps_fn(self.state, feed_stack, keys, epoch)
+        stats = {k: v[-1] for k, v in stats_seq.items()}
+        if "n_valid_pts" in stats_seq and self.log_max_allowance:
+            for t in range(stride):
+                self.pipeline.record_valid_pts(stats_seq["n_valid_pts"][t], self.n_coarse)
+        return stats
+
     def run_optimize(self, cur_epoch):
+        if self._fold_optimize:
+            return  # folded into the jitted train step
         if not self.epoch_optim or cur_epoch <= 0 or cur_epoch % self.epoch_optim != 0:
             return
         has_state = bool(jax.tree_util.tree_leaves(self.state["bound_state"]))
@@ -306,6 +407,10 @@ class ArcNerfTrainer:
         returns dict of (H, W, ...)."""
         if chunk_rays is None:
             chunk_rays = min(int(self.model.get_chunk_rays()), 16384)
+        # keep the (padded) chunk divisible by the mesh so full-image eval
+        # shards at ANY resolution instead of silently replicating
+        n_dev = self.mesh.devices.size
+        chunk_rays = max(n_dev, (chunk_rays // n_dev) * n_dev)
         h, w = int(sample["H"]), int(sample["W"])
         n = sample["rays_o"].shape[0]
         outs = []
@@ -321,6 +426,7 @@ class ArcNerfTrainer:
                     chunk[k] = jnp.asarray(piece)[None]
             if bkg_color is not None:
                 chunk["bkg_color"] = jnp.tile(jnp.asarray(bkg_color, dtype=jnp.float32), (1, chunk_rays, 1))
+            chunk = shard_batch(chunk, self.mesh)  # rays shard 8-way on axis 1
             out = self._render_chunk(self.eval_params(), self.state["bound_state"], chunk)
             outs.append({k: np.asarray(v[0])[: e - s] for k, v in out.items()
                          if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] == chunk_rays})
@@ -349,10 +455,12 @@ class ArcNerfTrainer:
             if valid_key_in_cfgs(self.cfgs, "debug") else False
         )
 
+        epoch_infer = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_infer", -1))
         t_start = time.time()
         t_window = time.time()
+        epoch = self.start_epoch
         try:
-            for epoch in range(self.start_epoch, self.total_epoch):
+            while epoch < self.total_epoch:
                 if clip_warmup > 0 and epoch == clip_warmup:
                     import copy
 
@@ -362,6 +470,7 @@ class ArcNerfTrainer:
                     )
                     self.tx, _ = build_optimizer(new_optim)
                     self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+                    self._scan_steps_fn = jax.jit(self._scan_steps_impl, donate_argnums=(0,))
                     self.logger.add_log("switched grad clip to {} at epoch {}".format(
                         new_optim.clip_gradients, epoch))
 
@@ -370,18 +479,16 @@ class ArcNerfTrainer:
                 if self.log_max_allowance:
                     self.pipeline.update_dynamic_bs(epoch, self.log_max_allowance)
 
-                batch = self.pipeline.get_train_batch(epoch)
-                feed_in, _ = get_model_feed_in(batch)
-                feed_in = shard_batch(feed_in, self.mesh)
-                self.key, sub = jax.random.split(self.key)
-                self.state, stats = self._train_step(self.state, feed_in, sub, epoch)
+                stride = self._stride_for(
+                    epoch, (epoch_loss, epoch_val, epoch_eval, epoch_save, epoch_infer,
+                            self.pipeline.dynamic_update_epoch if self.log_max_allowance else None,
+                            None if self._fold_optimize else self.epoch_optim),
+                    clip_warmup,
+                )
+                stats = self.train_steps(epoch, stride)
+                epoch += stride
 
-                if "n_valid_pts" in stats and self.log_max_allowance:
-                    # keep as device array; host sync happens only at the
-                    # dynamic-bs update cadence inside the pipeline
-                    self.pipeline.record_valid_pts(stats["n_valid_pts"], self.n_coarse)
-
-                if (epoch + 1) % epoch_loss == 0:
+                if epoch % epoch_loss == 0:
                     jax.block_until_ready(stats["loss"])
                     # over-budget valid points are silently dropped by the
                     # static compaction — surface it once (host read is fine
@@ -402,7 +509,7 @@ class ArcNerfTrainer:
                     fg_bs = self.state["bound_state"].get("fg") or {}
                     if "bitfield" in fg_bs:
                         occ_ratio = float(jnp.mean(fg_bs["bitfield"].astype(jnp.float32)))
-                        self.monitor.add_scalar("train/occ_ratio", occ_ratio, epoch + 1)
+                        self.monitor.add_scalar("train/occ_ratio", occ_ratio, epoch)
                     dt = time.time() - t_window
                     t_window = time.time()
                     loss_val = float(stats["loss"])
@@ -411,25 +518,24 @@ class ArcNerfTrainer:
                             save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="nan_abort")
                         raise FloatingPointError("NaN loss at epoch {} — state saved".format(epoch))
                     msg = "epoch {:6d} | loss {:.5f} | psnr {:.2f} | {:.3f} s/iter | rays {}".format(
-                        epoch + 1, loss_val, float(stats.get("psnr", 0.0)),
+                        epoch, loss_val, float(stats.get("psnr", 0.0)),
                         dt / epoch_loss, self.pipeline.n_rays)
                     self.logger.add_log(msg)
                     for k, v in stats.items():
-                        self.monitor.add_scalar("train/{}".format(k), float(v), epoch + 1)
-                    self.monitor.add_scalar("train/lr", float(self.lr_schedule(epoch + 1))
-                                            if callable(self.lr_schedule) else self.lr_schedule, epoch + 1)
+                        self.monitor.add_scalar("train/{}".format(k), float(v), epoch)
+                    self.monitor.add_scalar("train/lr", float(self.lr_schedule(epoch))
+                                            if callable(self.lr_schedule) else self.lr_schedule, epoch)
 
-                if epoch_val > 0 and (epoch + 1) % epoch_val == 0 and "val" in self.data:
-                    self.valid_epoch(epoch + 1)
-                if epoch_eval > 0 and (epoch + 1) % epoch_eval == 0 and "eval" in self.data:
-                    self.eval_epoch(epoch + 1)
-                epoch_infer = int(get_value_from_cfgs_field(self.cfgs.progress, "epoch_infer", -1))
-                if epoch_infer > 0 and (epoch + 1) % epoch_infer == 0:
-                    self.infer_epoch(epoch + 1)
-                if is_master() and epoch_save > 0 and (epoch + 1) % epoch_save == 0:
-                    save_model(self.ckpt_dir, self.state, epoch + 1, self.logger)
+                if epoch_val > 0 and epoch % epoch_val == 0 and "val" in self.data:
+                    self.valid_epoch(epoch)
+                if epoch_eval > 0 and epoch % epoch_eval == 0 and "eval" in self.data:
+                    self.eval_epoch(epoch)
+                if epoch_infer > 0 and epoch % epoch_infer == 0:
+                    self.infer_epoch(epoch)
+                if is_master() and epoch_save > 0 and epoch % epoch_save == 0:
+                    save_model(self.ckpt_dir, self.state, epoch, self.logger)
                 if is_master() and time.time() - self._last_save_time > save_time:
-                    save_model(self.ckpt_dir, self.state, epoch + 1, self.logger, keep_name="latest")
+                    save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="latest")
                     self._last_save_time = time.time()
         except KeyboardInterrupt:
             if is_master():

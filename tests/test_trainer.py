@@ -173,3 +173,47 @@ def test_e2e_micro_training():
         assert summary["psnr"] > 11.0, "val psnr too low: {}".format(summary)
         # checkpoint written
         assert os.path.exists(os.path.join(trainer.ckpt_dir, "final.ckpt"))
+
+
+@pytest.mark.slow
+def test_scan_steps_ngp_folded_optimize():
+    """NGP micro-run with scan_steps=8: occupancy updates fold into the
+    jitted step under lax.cond and whole strides run on-device under
+    lax.scan. Loss must fall and the occupancy state must actually update
+    (bitfield changes after the warmup threshold pass)."""
+    from arcnerf_tpu.trainer import ArcNerfTrainer
+    from arcnerf_tpu.utils.cfgs import load_configs, update_configs_by_dotlist
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs", "expr", "synthetic_ngp.yaml")
+    cfgs = load_configs(cfg_path)
+    with tempfile.TemporaryDirectory() as d:
+        update_configs_by_dotlist(cfgs, [
+            "--name", "scan_test",
+            "--dir.expr_dir", os.path.join(d, "expr"),
+            "--progress.epoch", "64",
+            "--progress.epoch_loss", "32",
+            "--progress.epoch_val", "-1",
+            "--progress.epoch_save_checkpoint", "64",
+            "--progress.scan_steps", "8",
+            "--dataset.train.n_imgs", "3",
+            "--dataset.train.wh", "[32,32]",
+            "--model.rays.n_sample", "32",
+            "--model.obj_bound.volume.n_grid", "32",
+            "--model.obj_bound.epoch_optim", "16",
+            "--model.obj_bound.epoch_optim_warmup", "32",
+            "--model.geometry.encoder.hashmap_size", "12",
+            "--model.geometry.encoder.n_levels", "4",
+            "--model.geometry.encoder.max_res", "64",
+            "--n_rays", "256",
+        ])
+        trainer = ArcNerfTrainer(cfgs)
+        assert trainer._fold_optimize, "NGP must fold the occupancy update into the step"
+        bitfield0 = np.asarray(trainer.state["bound_state"]["fg"]["bitfield"]).copy()
+        first = trainer.train_steps(0, 8)
+        first_loss = float(first["loss"])
+        trainer.train()
+        last_loss = float(trainer.train_steps(64, 1)["loss"])
+        assert np.isfinite(last_loss)
+        assert last_loss < first_loss, "loss should fall: {} -> {}".format(first_loss, last_loss)
+        bitfield1 = np.asarray(trainer.state["bound_state"]["fg"]["bitfield"])
+        assert not np.array_equal(bitfield0, bitfield1), "occupancy state never updated under lax.cond"
