@@ -17,8 +17,10 @@ All encoders expose ``out_dim`` and ``__call__(x) -> (B, out_dim)``.
 """
 
 import math
+from functools import partial
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -32,6 +34,44 @@ _HASH_PRIMES = (1, 2654435761, 805459861)
 _CORNER_OFFSETS = np.array(
     [[0, 0, 0], [0, 1, 0], [1, 0, 0], [1, 1, 0], [0, 0, 1], [0, 1, 1], [1, 0, 1], [1, 1, 1]], dtype=np.int32
 )
+
+
+def canonical_dtype(d):
+    """Map config strings to jnp dtypes (yaml carries 'bfloat16' etc.)."""
+    if isinstance(d, str):
+        return {"float32": jnp.float32, "fp32": jnp.float32,
+                "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                "float16": jnp.float16, "fp16": jnp.float16}[d]
+    return d
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_cols_f32(spec, table_t, flat_idx):
+    """Gather columns of (F, n_entries) ``table_t`` (f32 storage), reading
+    at ``spec.gather_dtype`` and returning f32.
+
+    ``spec`` is the static (table_shape, gather_dtype_name). With a bf16
+    gather dtype XLA materializes one bf16 copy of the table per step and
+    the hot random-access gather reads HALF the HBM bytes; parameters,
+    gradients, and the adam trajectory stay entirely f32 (the backward
+    scatter-add accumulates in f32 — thousands of point-gradients land on
+    the same hash entry, bf16 += would swallow them). The bf16 rounding of
+    the table values is the standard instant-ngp/tcnn half-table regime."""
+    shape, gather_dtype = spec
+    return jnp.take(table_t.astype(gather_dtype), flat_idx, axis=1).astype(jnp.float32)
+
+
+def _gather_cols_f32_fwd(spec, table_t, flat_idx):
+    return _gather_cols_f32(spec, table_t, flat_idx), flat_idx
+
+
+def _gather_cols_f32_bwd(spec, flat_idx, g):
+    shape, _ = spec
+    grad = jnp.zeros(shape, jnp.float32).at[:, flat_idx].add(g)
+    return grad, np.zeros(flat_idx.shape, dtype=jax.dtypes.float0)
+
+
+_gather_cols_f32.defvjp(_gather_cols_f32_fwd, _gather_cols_f32_bwd)
 
 
 @ENCODER_REGISTRY.register()
@@ -294,9 +334,13 @@ class HashGridEmbedder(nn.Module):
     def __call__(self, xyz):
         """xyz (B, 3) world coords inside the volume -> (B, out_dim)."""
         T, L, F = self.table_size, self.n_levels, self.n_feat_per_entry
+        # dtype selects the GATHER/compute precision; storage stays f32
+        # (f32 params keep grads/adam/collectives f32 — bf16 only rides the
+        # bandwidth-bound random-access read)
+        gather_dtype = canonical_dtype(self.dtype)
         table = self.param(
             "embeddings",
-            lambda key, shape: nn.initializers.uniform(scale=2 * self.init_std)(key, shape, self.dtype)
+            lambda key, shape: nn.initializers.uniform(scale=2 * self.init_std)(key, shape, jnp.float32)
             - self.init_std,
             (L, T, F),
         )
@@ -330,11 +374,16 @@ class HashGridEmbedder(nn.Module):
         use_dense = jnp.asarray(dense_ok)[:, None, None]
         entry_idx = jnp.where(use_dense, dense_idx % T, hash_idx.astype(jnp.int32))  # (L, 8, B)
 
-        # global flat index across levels, then one gather with F leading
+        # global flat index across levels, then one gather with F leading.
+        # The gather runs at the table's storage dtype (bf16 tables halve
+        # the HBM bytes of this — the encoder's bandwidth hot spot) and
+        # yields f32; its backward scatter-add accumulates in f32.
         level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None, None]
         flat_idx = (entry_idx + level_off).reshape(-1)  # (L*8*B,)
         table_t = table.reshape(L * T, F).T  # (F, L*T)
-        feats = jnp.take(table_t, flat_idx, axis=1).reshape(F, L, 8, B)
+        feats = _gather_cols_f32(
+            (table_t.shape, jnp.dtype(gather_dtype).name), table_t, flat_idx
+        ).reshape(F, L, 8, B)
 
         # trilinear weights in the same corner order
         offf = off.astype(pos.dtype)  # (8, 3)

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree_util.tree_map(jnp.zeros_like, params)
+    # shadow always accumulates in f32 (params may be stored bf16)
+    return jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
 
 
 def ema_update(ema_params, params, step, decay=0.95):

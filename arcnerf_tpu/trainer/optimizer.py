@@ -7,9 +7,36 @@ gradient clipping with warmup switch (optim.clip_gradients /
 clip_gradients_warmup, basic_trainer.py:254).
 """
 
+import jax
+import jax.numpy as jnp
 import optax
 
 from ..utils.cfgs import get_value_from_cfgs_field
+
+
+def with_f32_master(tx):
+    """Mixed-precision wrapper: run ``tx`` on f32 master weights when params
+    are stored in a lower precision (e.g. the bf16 hashgrid table).
+
+    Grads are upcast to f32, the inner optimizer (adam moments included)
+    operates purely on the f32 master copy, and the emitted update moves
+    each param to cast(master). This keeps NGP's lr=1e-2/eps=1e-15 regime
+    stable with a bf16 table: the table sees one bf16 rounding per step
+    while the trajectory itself integrates in f32."""
+
+    def init_fn(params):
+        master = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+        return (tx.init(master), master)
+
+    def update_fn(updates, state, params=None):
+        inner_state, master = state
+        grads32 = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), updates)
+        inner_updates, inner_state = tx.update(grads32, inner_state, master)
+        master = optax.apply_updates(master, inner_updates)
+        out = jax.tree_util.tree_map(lambda m, p: m.astype(p.dtype) - p, master, params)
+        return out, (inner_state, master)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def build_lr_schedule(optim_cfgs):

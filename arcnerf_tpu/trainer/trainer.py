@@ -194,6 +194,16 @@ class ArcNerfTrainer:
         params = variables["params"]
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
         self.logger.add_log("Model params: {:.2f}M".format(n_params / 1e6))
+        # low-precision storage (e.g. bf16 hashgrid table) -> f32 master
+        self._needs_f32_master = any(
+            hasattr(p, "dtype") and p.dtype != jnp.float32
+            for p in jax.tree_util.tree_leaves(params)
+        )
+        if self._needs_f32_master:
+            from .optimizer import with_f32_master
+
+            self.tx = with_f32_master(self.tx)
+            self.logger.add_log("non-f32 params detected: optimizer runs on f32 master weights")
         state = {
             "params": params,
             "opt_state": self.tx.init(params),
@@ -469,6 +479,10 @@ class ArcNerfTrainer:
                         self.cfgs.optim, "clip_gradients_warmup", 0.0
                     )
                     self.tx, _ = build_optimizer(new_optim)
+                    if getattr(self, "_needs_f32_master", False):
+                        from .optimizer import with_f32_master
+
+                        self.tx = with_f32_master(self.tx)
                     self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
                     self._scan_steps_fn = jax.jit(self._scan_steps_impl, donate_argnums=(0,))
                     self.logger.add_log("switched grad clip to {} at epoch {}".format(
