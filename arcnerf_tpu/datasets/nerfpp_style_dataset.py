@@ -21,10 +21,12 @@ def _read_mat_txt(path):
     return np.loadtxt(path).reshape(4, 4) if np.loadtxt(path).size == 16 else np.loadtxt(path)
 
 
+@DATASET_REGISTRY.register(name="TanksAndTemples")
 @DATASET_REGISTRY.register()
 class TT(Base3dDataset):
     """Tanks & Temples in nerf++ layout:
-    <scene>/{train,test}/{rgb,pose,intrinsics}/*."""
+    <scene>/{train,test}/{rgb,pose,intrinsics}/* (reference configs use
+    type: TanksAndTemples; both names resolve here)."""
 
     def __init__(self, cfgs, data_dir, mode="train", transforms=None):
         super().__init__(cfgs, data_dir, mode, transforms)

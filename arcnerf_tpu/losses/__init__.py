@@ -16,14 +16,14 @@ from ..utils.cfgs import get_value_from_cfgs_field
 from ..utils.registry import LOSS_REGISTRY
 
 
-def _error_fn(loss_type):
+def _error_fn(loss_type, delta=1.0):
     lt = (loss_type or "MSE").lower()
     if lt == "mse":
         return lambda pred, gt: (pred - gt) ** 2
     if lt == "l1":
         return lambda pred, gt: jnp.abs(pred - gt)
     if lt == "huber":
-        def huber(pred, gt, delta=1.0):
+        def huber(pred, gt):
             err = jnp.abs(pred - gt)
             return jnp.where(err <= delta, 0.5 * err**2, delta * (err - 0.5 * delta))
 
@@ -59,7 +59,8 @@ class ImgLoss:
         self.use_mask = get_value_from_cfgs_field(cfgs, "use_mask", False)
         self.keys = get_value_from_cfgs_field(cfgs, "keys", ["rgb"])
         self.internal_weights = get_value_from_cfgs_field(cfgs, "internal_weights", None)
-        self.fn = _error_fn(self.loss_type)
+        delta = float(get_value_from_cfgs_field(cfgs, "delta", 1.0))  # Huber delta
+        self.fn = _error_fn(self.loss_type, delta)
 
     def __call__(self, inputs, output):
         gt = inputs["img"]
@@ -82,7 +83,7 @@ class MaskLoss:
 
     def __init__(self, cfgs=None):
         self.loss_type = get_value_from_cfgs_field(cfgs, "loss_type", "MSE")
-        self.fn = _error_fn(self.loss_type)
+        self.fn = _error_fn(self.loss_type, float(get_value_from_cfgs_field(cfgs, "delta", 1.0)))
 
     def __call__(self, inputs, output):
         gt = inputs["mask"]
