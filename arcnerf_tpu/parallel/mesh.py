@@ -10,9 +10,13 @@ collectives needed. Multi-host pods: call ``jax.distributed.initialize``
 before building the mesh; XLA routes DCN transparently.
 """
 
+import warnings
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_REPLICATE_WARNED = set()
 
 
 def init_distributed(cfgs=None):
@@ -38,7 +42,8 @@ def shard_batch(batch, mesh, axis_name="data"):
     divides the device count, else on axis 1 — trainer ray batches are
     (1, n_rays, ...) so the rays shard and GSPMD propagates the layout
     through the model's (B, N) -> (B*N) flatten. Unshardable leaves
-    replicate."""
+    replicate (with a one-time warning per shape — pad ray batches with
+    pad_ray_batch to keep them sharded)."""
     size = mesh.devices.size
 
     def put(x):
@@ -47,9 +52,39 @@ def shard_batch(batch, mesh, axis_name="data"):
                 return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
             if x.ndim >= 2 and x.shape[1] >= size and x.shape[1] % size == 0:
                 return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+            if size > 1 and x.size >= size and x.shape not in _REPLICATE_WARNED:
+                _REPLICATE_WARNED.add(x.shape)
+                warnings.warn(
+                    "shard_batch: leaf of shape {} not divisible by {} devices; "
+                    "replicating (pad with pad_ray_batch to shard)".format(x.shape, size))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def pad_ray_batch(batch, multiple, axis=1):
+    """Pad every (.., n_rays, ..) leaf along ``axis`` up to the next multiple
+    of ``multiple`` by repeating the last ray, so shard_batch always shards
+    regardless of resolution (full-image eval at odd H*W). Returns
+    (padded_batch, n_valid) — slice outputs back to n_valid rays."""
+    n = None
+
+    def pad(x):
+        nonlocal n
+        if not hasattr(x, "ndim") or x.ndim <= axis:
+            return x
+        cur = x.shape[axis]
+        n = cur if n is None else n
+        rem = (-cur) % multiple
+        if rem == 0:
+            return x
+        take = jax.numpy.take(x, jax.numpy.full((rem,), cur - 1), axis=axis) if hasattr(x, "devices") \
+            else np.take(x, np.full((rem,), cur - 1), axis=axis)
+        cat = jax.numpy.concatenate if hasattr(x, "devices") else np.concatenate
+        return cat([x, take], axis=axis)
+
+    out = jax.tree_util.tree_map(pad, batch)
+    return out, n
 
 
 def shard_stacked_batch(batch, mesh, axis_name="data"):

@@ -40,9 +40,26 @@ def test_mesh_and_shard_batch():
     shard_shapes = {s.data.shape for s in sharded_flat["rays"].addressable_shards}
     assert shard_shapes == {(8, 3)}  # 64 rays / 8 devices
 
-    # odd ray counts that divide neither axis stay replicated
-    odd = shard_batch({"rays_o": jnp.ones((1, 63, 3))}, mesh)
+    # odd ray counts that divide neither axis stay replicated, with a warning
+    with pytest.warns(UserWarning, match="not divisible"):
+        odd = shard_batch({"rays_o": jnp.ones((1, 63, 3))}, mesh)
     assert {s.data.shape for s in odd["rays_o"].addressable_shards} == {(1, 63, 3)}
+
+
+def test_pad_ray_batch_shards_odd_resolution():
+    """Full-image eval at odd resolutions: pad rays to the mesh multiple so
+    every leaf shards 8-way (VERDICT r1 item 10)."""
+    from arcnerf_tpu.parallel.mesh import pad_ray_batch
+
+    mesh = get_mesh()
+    batch = {"rays_o": jnp.ones((1, 63, 3)), "rays_d": jnp.ones((1, 63, 3))}
+    padded, n_valid = pad_ray_batch(batch, mesh.devices.size)
+    assert n_valid == 63
+    assert padded["rays_o"].shape == (1, 64, 3)
+    # padding repeats the last ray -> harmless duplicate work
+    np.testing.assert_array_equal(np.asarray(padded["rays_o"][0, -1]), np.asarray(batch["rays_o"][0, -1]))
+    sharded = shard_batch(padded, mesh)
+    assert {s.data.shape for s in sharded["rays_o"].addressable_shards} == {(1, 8, 3)}
 
 
 def test_sharded_grad_matches_single_device():
