@@ -86,3 +86,43 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_two_process_multihost_grad_parity():
+    """Real jax.distributed path: spawn 2 localhost processes (2 virtual CPU
+    devices each), run one data-parallel grad step on a global 4-device
+    mesh, assert both processes' all-reduced gradients match the
+    single-process gradient (VERDICT r1 item 6; reference analogue:
+    torch.distributed.launch, scripts/gpu.sh)."""
+    import socket
+    import subprocess
+    import tempfile
+
+    with socket.socket() as s:  # pick a free rendezvous port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = "127.0.0.1:{}".format(port)
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, "g{}.npy".format(i)) for i in range(2)]
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, coordinator, "2", str(i), outs[i]],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)
+        ]
+        logs = [p.communicate(timeout=240)[0].decode() for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-2000:]
+
+        # single-process reference gradient on the same deterministic data
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(64, 3)).astype(np.float32)
+        y = rng.normal(size=(64, 4)).astype(np.float32)
+        w = rng.normal(size=(3, 4)).astype(np.float32)
+        g_ref = jax.grad(lambda w, x, y: jnp.mean((x @ w - y) ** 2))(
+            jnp.asarray(w), jnp.asarray(x), jnp.asarray(y))
+        for path in outs:
+            np.testing.assert_allclose(np.load(path), np.asarray(g_ref), atol=1e-5)
