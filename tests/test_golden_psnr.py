@@ -1,0 +1,109 @@
+"""Golden eval-PSNR regression bars, one per model family (VERDICT r1 item 5).
+
+Each family trains its synthetic recipe (configs/expr/synthetic_<family>.yaml)
+for a short run on the procedural scene and must reach a pinned eval-PSNR
+floor on 4 held-out views rendered with matched background compositing
+(trainer.valid_epoch supplies the gt background color). The floors are
+calibrated ~2 dB below measured values (docs/tests.md records the measured
+numbers) so a silent quality regression in any family fails pytest while
+run-to-run noise does not. The train/eval protocol gap is tracked by also
+rendering one training-track view through the same eval protocol.
+
+Reference analogue: the per-family benchmark tables the reference maintains
+by hand (/root/reference/docs/benchmark.md:68-74) — here they are enforced.
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "expr")
+
+# family -> (config file, extra dotted overrides, eval-psnr floor)
+# measured values (CPU mesh, seeded): see docs/tests.md "Golden PSNR bars"
+FAMILIES = {
+    "nerf": ("synthetic_nerf.yaml", ["--progress.epoch", "300"], 15.5),
+    "ngp": ("synthetic_ngp.yaml", [
+        "--progress.epoch", "600", "--progress.epoch_val", "-1",
+        "--dataset.train.n_imgs", "10", "--dataset.train.wh", "[80,80]",
+        "--dataset.val.n_imgs", "4", "--dataset.val.wh", "[80,80]",
+        "--model.geometry.encoder.hashmap_size", "15",
+        "--model.geometry.encoder.n_levels", "8",
+        "--model.obj_bound.volume.n_grid", "32",
+        "--model.rays.n_sample", "64",
+    ], 22.0),
+    "neus": ("synthetic_neus.yaml", [
+        "--progress.epoch", "400", "--progress.epoch_val", "-1",
+        "--dataset.val.n_imgs", "4", "--progress.max_samples_val", "4",
+    ], 16.0),
+    "mipnerf": ("synthetic_mipnerf.yaml", [], 15.5),
+    "nerfpp": ("synthetic_nerfpp.yaml", [], 15.5),
+    "multivol": ("synthetic_multivol.yaml", [], 15.5),
+    "hdrnerf": ("synthetic_hdrnerf.yaml", [], 15.5),
+    "volsdf": ("synthetic_volsdf.yaml", [], 13.0),
+}
+
+
+def run_family(family, floor_check=True):
+    from arcnerf_tpu.datasets import get_dataset
+    from arcnerf_tpu.trainer import ArcNerfTrainer
+    from arcnerf_tpu.utils.cfgs import load_configs, update_configs_by_dotlist
+
+    config, overrides, floor = FAMILIES[family]
+    cfgs = load_configs(os.path.join(CONFIG_DIR, config))
+    with tempfile.TemporaryDirectory() as d:
+        update_configs_by_dotlist(cfgs, [
+            "--name", "golden_{}".format(family),
+            "--dir.expr_dir", os.path.join(d, "expr"),
+            "--progress.epoch_val", "-1",
+            "--progress.epoch_save_checkpoint", "1000000",
+            "--progress.max_samples_val", "4",
+            "--dataset.val.n_imgs", "4",
+        ] + overrides)
+        trainer = ArcNerfTrainer(cfgs)
+        trainer.train()
+        summary = trainer.valid_epoch(trainer.total_epoch)
+
+        # train/eval protocol gap: render one training-track view through the
+        # SAME eval protocol (matched bkg) — large gaps flag overfit/protocol bugs
+        train_view_ds = get_dataset(cfgs.dataset, cfgs.dir.data_dir, mode="train")
+        sample = train_view_ds[0]
+        imgs = trainer.render_image(sample, bkg_color=trainer.eval_bkg_color("val"))
+        from arcnerf_tpu.metrics import psnr
+        import jax.numpy as jnp
+
+        gt = np.asarray(sample["img"]).reshape(imgs["rgb"].shape)
+        train_view_psnr = float(psnr(jnp.asarray(imgs["rgb"]), jnp.asarray(gt)))
+
+    result = {
+        "family": family,
+        "eval_psnr": float(summary["psnr"]),
+        "train_view_psnr": train_view_psnr,
+        "train_eval_gap": train_view_psnr - float(summary["psnr"]),
+        "floor": floor,
+    }
+    if floor_check:
+        assert result["eval_psnr"] >= floor, \
+            "{} eval PSNR regressed: {:.2f} < floor {:.2f} ({})".format(
+                family, result["eval_psnr"], floor, result)
+    return result
+
+
+@pytest.mark.slow
+@pytest.mark.golden
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_golden_eval_psnr(family):
+    result = run_family(family)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":  # calibration: python tests/test_golden_psnr.py <family>
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    fam = sys.argv[1]
+    print(json.dumps(run_family(fam, floor_check=False)))
