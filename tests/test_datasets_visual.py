@@ -152,15 +152,37 @@ def test_visual_panels():
 
         c2ws = generate_cam_pose_on_sphere("circle", 2.0, 6)
         path = os.path.join(d, "scene.png")
+        html_path = os.path.join(d, "scene.html")
+        from arcnerf_tpu.geometry.mesh import extract_mesh
+
+        g = np.linspace(-1.1, 1.1, 16)
+        x, y, z = np.meshgrid(g, g, g, indexing="ij")
+        mv, mf = extract_mesh(np.sqrt(x**2 + y**2 + z**2) - 0.8, 0.0,
+                              (g[1] - g[0],) * 3, (-1.1,) * 3)
         draw_3d_components(
             c2ws=c2ws,
             points=np.random.default_rng(0).random((50, 3)),
             rays=(np.zeros((3, 3)), np.eye(3)),
             sphere_radius=1.0,
+            meshes=[{"verts": mv, "faces": mf}],
             title="t",
             save_path=path,
+            save_html=html_path,
         )
         assert os.path.exists(path)
+        # interactive html export (reference plotly parity): standalone WebGL
+        # page embedding the scene json with togglable groups
+        html = open(html_path).read()
+        assert "webgl" in html and "SCENE" in html
+        for name in ("cameras (6)", "points (50)", "rays (3)", "bounding sphere", "mesh 0"):
+            assert name in html, name
+        import json as _json
+
+        scene_json = html.split("const SCENE = ", 1)[1].split(";\n", 1)[0]
+        scene = _json.loads(scene_json)
+        assert {g["type"] for g in scene["groups"]} == {"points", "lines", "mesh"}
+        mesh_group = [g for g in scene["groups"] if g["type"] == "mesh"][0]
+        assert len(mesh_group["faces"]) == mf.size
 
 
 def test_colmap_qvec_roundtrip():
