@@ -335,6 +335,11 @@ class ArcNerfTrainer:
             stride = min(stride, clip_warmup - epoch)
         return max(1, stride)
 
+    def epoch_hook(self, epoch, stats):
+        """Called after every train stride; the viewer trainer overrides it
+        for live progress + pause/resume control (reference
+        arcnerf_trainer_with_nsviewer.py per-step viewer hooks)."""
+
     def train_steps(self, epoch, stride):
         """Run ``stride`` consecutive optimizer steps starting at ``epoch``;
         stride > 1 runs them as ONE device dispatch via lax.scan. Returns the
@@ -501,6 +506,7 @@ class ArcNerfTrainer:
                 )
                 stats = self.train_steps(epoch, stride)
                 epoch += stride
+                self.epoch_hook(epoch, stats)
 
                 if epoch % epoch_loss == 0:
                     jax.block_until_ready(stats["loss"])

@@ -1,12 +1,16 @@
 """Trainer with the interactive viewer attached.
 
 Capability parity with /root/reference/arcnerf/trainer/
-arcnerf_trainer_with_nsviewer.py:16-99: the viewer runs alongside training
-and renders with the CURRENT parameters whenever the browser asks.
+arcnerf_trainer_with_nsviewer.py:16-99 + ns_viewer/server/viewer_utils.py
+(init_scene:280 dataset cameras/thumbnails, update_scene:357 per-step
+progress, training pause/resume control): the viewer runs alongside
+training, renders with the CURRENT parameters whenever the browser asks,
+overlays the dataset cameras, and can pause/resume the train loop.
 """
 
-from ..utils.cfgs import get_value_from_cfgs_field
+from ..utils.cfgs import get_value_from_cfgs_field, valid_key_in_cfgs
 from ..viewer import ViewerState, run_viewer
+from ..viewer.server import TrainControl, build_scene_graph
 from .trainer import ArcNerfTrainer
 
 
@@ -16,18 +20,49 @@ class ArcNerfViewerTrainer(ArcNerfTrainer):
         super().__init__(cfgs)
         port = int(get_value_from_cfgs_field(cfgs, "viewer_port", 7007))
         src = self.data.get("val") or self.data["train"]
+        bounds = self._scene_bounds()
+        self.viewer_control = TrainControl()
         self.viewer_state = ViewerState(
             self._viewer_render_fn, src.get_intrinsic(), (src.W, src.H),
             train_state_info={"step": 0},
+            scene_graph=build_scene_graph(src, bounds=bounds),
+            control=self.viewer_control,
         )
         run_viewer(self.viewer_state, port, in_thread=True)
+
+    def _scene_bounds(self):
+        """Bounding sphere/volume description for the client overlay."""
+        model = self.cfgs.model
+        bounds = {}
+        if valid_key_in_cfgs(model, "obj_bound"):
+            ob = model.obj_bound
+            if valid_key_in_cfgs(ob, "volume"):
+                bounds["volume_side"] = float(get_value_from_cfgs_field(ob.volume, "side", 2.0) or 2.0)
+            if valid_key_in_cfgs(ob, "sphere"):
+                bounds["sphere_radius"] = float(get_value_from_cfgs_field(ob.sphere, "radius", 1.5))
+        r = get_value_from_cfgs_field(model.rays, "bounding_radius", None) if valid_key_in_cfgs(model, "rays") \
+            else None
+        if r is not None and "sphere_radius" not in bounds:
+            bounds["sphere_radius"] = float(r)
+        return bounds
 
     def _viewer_render_fn(self, feed):
         # always render with the live params
         return self._render_chunk(self.state["params"], self.state["bound_state"], feed)
 
+    def epoch_hook(self, epoch, stats):
+        """Per-stride: publish progress to the viewer and honour pause
+        (reference update_scene:357 + training-control)."""
+        info = self.viewer_state.train_state_info
+        info["step"] = int(epoch)
+        try:
+            info["loss"] = round(float(stats.get("loss", 0.0)), 5)
+            info["psnr"] = round(float(stats.get("psnr", 0.0)), 2)
+        except Exception:
+            pass
+        self.viewer_control.wait_if_paused()
+
     def train(self):
-        # refresh the step counter the viewer reports
         orig = self.viewer_state.train_state_info
         try:
             return super().train()

@@ -17,18 +17,82 @@ import time
 import numpy as np
 
 
+class TrainControl:
+    """Pause/resume gate polled by the trainer between strides (reference
+    viewer's training-control messages, ns_viewer/server/viewer_utils.py)."""
+
+    def __init__(self):
+        self._run = threading.Event()
+        self._run.set()
+
+    @property
+    def paused(self):
+        return not self._run.is_set()
+
+    def pause(self):
+        self._run.clear()
+
+    def resume(self):
+        self._run.set()
+
+    def wait_if_paused(self, poll=0.2):
+        while not self._run.is_set():
+            time.sleep(poll)
+
+
+def build_scene_graph(dataset, bounds=None, max_thumbs=24, thumb_px=96):
+    """Scene-graph JSON for the client overlay (reference init_scene,
+    viewer_utils.py:280: dataset cameras + thumbnails + bounds).
+
+    dataset: any loader exposing cameras + indexable samples with 'img'.
+    Returns {cameras: [{c2w, thumb(b64 jpeg)}...], intrinsic, wh, bounds}.
+    """
+    import cv2
+
+    n = len(dataset)
+    take = np.linspace(0, n - 1, min(n, max_thumbs)).astype(int)
+    cams = []
+    for i in take:
+        c2w = np.asarray(dataset.cameras[i].get_pose(as_jnp=False), dtype=np.float64)
+        thumb = None
+        try:
+            sample = dataset[int(i)]
+            h, w = int(sample["H"]), int(sample["W"])
+            img = np.asarray(sample["img"]).reshape(h, w, 3)
+            scale = thumb_px / max(h, w)
+            small = cv2.resize((np.clip(img, 0, 1) * 255).astype(np.uint8),
+                               (max(int(w * scale), 8), max(int(h * scale), 8)))
+            ok, buf = cv2.imencode(".jpg", small[..., ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), 70])
+            if ok:
+                thumb = base64.b64encode(buf.tobytes()).decode()
+        except Exception:
+            pass
+        cams.append({"c2w": c2w.tolist(), "thumb": thumb})
+    graph = {
+        "cameras": cams,
+        "intrinsic": np.asarray(dataset.get_intrinsic(), dtype=np.float64).tolist(),
+        "wh": [int(dataset.W), int(dataset.H)],
+    }
+    if bounds:
+        graph["bounds"] = bounds
+    return graph
+
+
 class ViewerState:
     """Holds the render function + scene metadata; renders on demand."""
 
     # fixed resolution ladder -> static shapes, one compile each
     RES_LADDER = (64, 128, 256, 512)
 
-    def __init__(self, render_chunk_fn, intrinsic, wh, chunk_rays=8192, train_state_info=None):
+    def __init__(self, render_chunk_fn, intrinsic, wh, chunk_rays=8192, train_state_info=None,
+                 scene_graph=None, control=None):
         self.render_chunk_fn = render_chunk_fn
         self.intrinsic = np.asarray(intrinsic, dtype=np.float64)
         self.W, self.H = wh
         self.chunk_rays = chunk_rays
         self.train_state_info = train_state_info or {}
+        self.scene_graph = scene_graph or {}
+        self.control = control
         self._lock = threading.Lock()
 
     def set_render_fn(self, render_chunk_fn):
@@ -84,6 +148,22 @@ def make_app(state):
         def on_message(self, message):
             try:
                 msg = json.loads(message)
+                kind = msg.get("type", "render")
+                if kind == "scene":
+                    self.write_message(json.dumps({"type": "scene", "scene": state.scene_graph}))
+                    return
+                if kind == "control":
+                    action = msg.get("action")
+                    if state.control is not None:
+                        if action == "pause":
+                            state.control.pause()
+                        elif action == "resume":
+                            state.control.resume()
+                    self.write_message(json.dumps({
+                        "type": "control",
+                        "paused": bool(state.control is not None and state.control.paused),
+                    }))
+                    return
                 c2w = np.asarray(msg["c2w"], dtype=np.float64).reshape(4, 4)
                 res = int(msg.get("res", 128))
                 t0 = time.perf_counter()
@@ -91,8 +171,10 @@ def make_app(state):
                 self.write_message(json.dumps({
                     "type": "frame",
                     "jpeg": jpeg,
+                    "res": res,
                     "render_ms": round((time.perf_counter() - t0) * 1000, 1),
                     "info": state.train_state_info,
+                    "paused": bool(state.control is not None and state.control.paused),
                 }))
             except Exception as e:  # surface render errors to the client
                 self.write_message(json.dumps({"type": "error", "msg": str(e)}))

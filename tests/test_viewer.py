@@ -58,3 +58,69 @@ def test_websocket_roundtrip():
     assert reply["type"] == "frame"
     assert len(reply["jpeg"]) > 100
     assert reply["render_ms"] >= 0
+
+
+def test_scene_graph_and_control():
+    """Scene-graph JSON (cameras + thumbnails + bounds) and pause/resume
+    control round trip over the websocket (VERDICT r1 item 8; reference
+    ns_viewer init_scene:280 + training-control)."""
+    websockets = pytest.importorskip("websockets")
+    from arcnerf_tpu.datasets.synthetic_dataset import Synthetic
+    from arcnerf_tpu.utils.cfgs import dict_to_obj
+    from arcnerf_tpu.viewer.server import TrainControl, build_scene_graph
+
+    ds = Synthetic(dict_to_obj({"n_imgs": 5, "wh": [32, 32], "cam_radius": 2.5,
+                                "white_bkg": True}), None, "train")
+    graph = build_scene_graph(ds, bounds={"sphere_radius": 1.5}, max_thumbs=4)
+    assert len(graph["cameras"]) == 4
+    assert all(c["thumb"] for c in graph["cameras"])
+    assert np.asarray(graph["cameras"][0]["c2w"]).shape == (4, 4)
+    assert graph["bounds"]["sphere_radius"] == 1.5
+    assert graph["wh"] == [32, 32]
+
+    control = TrainControl()
+    state = make_state()
+    state.scene_graph = graph
+    state.control = control
+    port = 17973
+    run_viewer(state, port=port, in_thread=True)
+    time.sleep(1.0)
+
+    async def roundtrip():
+        import websockets
+
+        async with websockets.connect("ws://localhost:{}/ws".format(port)) as ws:
+            await ws.send(json.dumps({"type": "scene"}))
+            scene = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+            await ws.send(json.dumps({"type": "control", "action": "pause"}))
+            paused = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+            await ws.send(json.dumps({"type": "control", "action": "resume"}))
+            resumed = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+            return scene, paused, resumed
+
+    scene, paused_msg, resumed_msg = asyncio.run(roundtrip())
+    assert scene["type"] == "scene" and len(scene["scene"]["cameras"]) == 4
+    assert paused_msg == {"type": "control", "paused": True}
+    assert resumed_msg == {"type": "control", "paused": False}
+    assert not control.paused  # resumed: trainer would proceed
+
+
+def test_train_control_gates_trainer():
+    from arcnerf_tpu.viewer.server import TrainControl
+
+    control = TrainControl()
+    seen = []
+
+    def fake_train():
+        for step in range(3):
+            control.wait_if_paused(poll=0.01)
+            seen.append(step)
+
+    control.pause()
+    t = threading.Thread(target=fake_train)
+    t.start()
+    time.sleep(0.15)
+    assert seen == []  # paused before the first step
+    control.resume()
+    t.join(timeout=5)
+    assert seen == [0, 1, 2]
