@@ -74,6 +74,61 @@ def _gather_cols_f32_bwd(spec, flat_idx, g):
 _gather_cols_f32.defvjp(_gather_cols_f32_fwd, _gather_cols_f32_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hash_lookup_rowform(spec, table, entry_idx):
+    """Hash-table lookup in ROW form: (L, T, F) table, (L, K) per-level
+    entry indices -> (F, L, K) features, f32.
+
+    Measured on TPU v5e (scripts/probe_rowform.py, 33.5M lookups into a
+    16x2^19x2 table): XLA moves full 128-lane rows at ~500 GB/s through
+    both gather and scatter-add, while element-granularity forms serialize
+    (fwd 205 ms, bwd 2682 ms). Packing 128/F entries per row makes the
+    forward a row gather + fused one-hot lane extraction (157 ms) and the
+    backward a row scatter-add of one-hot lane updates (305 ms, 8.8x) with
+    EXACT f32 accumulation (bit-identical to element-form .at[].add).
+    Replaces the tcnn atomic-add backward (reference tiny-cuda-nn) with the
+    TPU-native equivalent."""
+    shape, gather_dtype, _ = spec
+    L, T, F = shape
+    epr = 128 // F  # entries per 128-lane row
+    K = entry_idx.shape[1]
+    rows = table.reshape(L, T // epr, 128).astype(gather_dtype)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+    outs = []
+    for l in range(L):  # static per-level loop caps the (K, 128) intermediate
+        r = jnp.take(rows[l], entry_idx[l] // epr, axis=0).astype(jnp.float32)  # (K, 128)
+        lane0 = (entry_idx[l] % epr) * F
+        feats = [jnp.sum(jnp.where(lanes == (lane0[:, None] + f), r, 0.0), axis=1) for f in range(F)]
+        outs.append(jnp.stack(feats))  # (F, K)
+    return jnp.stack(outs, axis=1)  # (F, L, K)
+
+
+def _hash_lookup_rowform_fwd(spec, table, entry_idx):
+    return _hash_lookup_rowform(spec, table, entry_idx), entry_idx
+
+
+def _hash_lookup_rowform_bwd(spec, entry_idx, g):
+    """g (F, L, K) -> table grad (L, T, F) via per-level row scatter-add
+    (f32 accumulation, exact)."""
+    shape, _, _ = spec
+    L, T, F = shape
+    epr = 128 // F
+    K = entry_idx.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+    grads = []
+    for l in range(L):
+        lane0 = (entry_idx[l] % epr) * F
+        upd = jnp.zeros((K, 128), jnp.float32)
+        for f in range(F):
+            upd = upd + jnp.where(lanes == (lane0[:, None] + f), g[f, l][:, None], 0.0)
+        tbl = jnp.zeros((T // epr, 128), jnp.float32).at[entry_idx[l] // epr].add(upd)
+        grads.append(tbl.reshape(T, F))
+    return jnp.stack(grads), np.zeros(entry_idx.shape, dtype=jax.dtypes.float0)
+
+
+_hash_lookup_rowform.defvjp(_hash_lookup_rowform_fwd, _hash_lookup_rowform_bwd)
+
+
 @ENCODER_REGISTRY.register()
 class FreqEmbedder(nn.Module):
     """sin/cos positional encoding: x -> [x?, sin(f_i x), cos(f_i x)...]."""
@@ -374,16 +429,26 @@ class HashGridEmbedder(nn.Module):
         use_dense = jnp.asarray(dense_ok)[:, None, None]
         entry_idx = jnp.where(use_dense, dense_idx % T, hash_idx.astype(jnp.int32))  # (L, 8, B)
 
-        # global flat index across levels, then one gather with F leading.
-        # The gather runs at the table's storage dtype (bf16 tables halve
-        # the HBM bytes of this — the encoder's bandwidth hot spot) and
-        # yields f32; its backward scatter-add accumulates in f32.
-        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None, None]
-        flat_idx = (entry_idx + level_off).reshape(-1)  # (L*8*B,)
-        table_t = table.reshape(L * T, F).T  # (F, L*T)
-        feats = _gather_cols_f32(
-            (table_t.shape, jnp.dtype(gather_dtype).name), table_t, flat_idx
-        ).reshape(F, L, 8, B)
+        # table lookup. On TPU: ROW-FORM gather/scatter (full 128-lane rows
+        # move at ~500 GB/s while element forms serialize — fwd 205->157 ms,
+        # bwd 2682->305 ms at the 33.5M-lookup NGP workload, see
+        # _hash_lookup_rowform). On CPU the element gather is the fast path
+        # (row-form measured 400x slower there), and it also covers F that
+        # doesn't pack into 128 lanes. Either way the gather runs at the
+        # table's storage dtype (bf16 halves the random-read bytes) and
+        # yields f32; the backward scatter accumulates in f32.
+        if jax.default_backend() == "tpu" and 128 % F == 0 and T % (128 // F) == 0:
+            feats = _hash_lookup_rowform(
+                ((L, T, F), jnp.dtype(gather_dtype).name, None),
+                table, entry_idx.reshape(L, 8 * B),
+            ).reshape(F, L, 8, B)
+        else:
+            level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None, None]
+            flat_idx = (entry_idx + level_off).reshape(-1)  # (L*8*B,)
+            table_t = table.reshape(L * T, F).T  # (F, L*T)
+            feats = _gather_cols_f32(
+                (table_t.shape, jnp.dtype(gather_dtype).name), table_t, flat_idx
+            ).reshape(F, L, 8, B)
 
         # trilinear weights in the same corner order
         offf = off.astype(pos.dtype)  # (8, 3)
