@@ -206,6 +206,12 @@ class FullModel(nn.Module):
         flat_inputs, batch_size, n_rays = self.prepare_flatten_inputs(inputs)
 
         bound_state = bound_state or {}
+        # under rgb blend the BKG MODEL is the background: a per-ray
+        # bkg_color input must not ALSO be composited by the fg marching
+        # (T*color + T*bkg_rgb double-counts; caught by the synthetic_nerfpp
+        # golden run — eval rgb reached 1.49)
+        if self.has_bkg and not self.fg_only and self.bkg_blend == "rgb":
+            flat_inputs.pop("bkg_color", None)
         # sigma-blend needs all fg samples kept for joint re-marching
         get_progress_fg = True if self.has_bkg else get_progress
         fg_output = self.fg_model(

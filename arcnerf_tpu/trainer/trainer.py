@@ -404,7 +404,13 @@ class ArcNerfTrainer:
     def eval_bkg_color(self, mode="val"):
         """Background color to composite at eval render time: the dataset's
         white_bkg / blend color (training composites random bkg onto gt, so
-        eval must supply the gt background explicitly)."""
+        eval must supply the gt background explicitly). Models with an rgb-
+        blend background MODEL own their background — supplying a color too
+        would composite it twice (fg marching blends T*color, then the
+        blend adds T*bkg_rgb), so return None for them."""
+        if getattr(self.model, "has_bkg", False) and getattr(self.model, "bkg_blend", "rgb") == "rgb" \
+                and not getattr(self.model, "fg_only", False):
+            return None
         ds_cfgs = get_value_from_cfgs_field(self.cfgs.dataset, mode, None) if valid_key_in_cfgs(
             self.cfgs, "dataset") else None
         if ds_cfgs is None:

@@ -320,3 +320,20 @@ class TestSigmaBlend:
         check_rgb_keys(out, False, True)
         _, _, _, out_inf = build_and_run(cfgs, feed, inference_only=True)
         check_rgb_keys(out_inf, True, True)
+
+
+def test_bkg_model_ignores_bkg_color_input():
+    """With an rgb-blend background MODEL, a per-ray bkg_color input must
+    not ALSO be composited by the fg marching (double compositing drove
+    eval rgb to ~1.5 in the synthetic_nerfpp golden run). rgb with and
+    without the input must match, and stay bounded."""
+    cfgs = load_model_cfgs("nerfpp.yaml", TestNeRFPP.overrides)
+    feed = make_feed_in()
+    _, _, _, out_plain = build_and_run(cfgs, feed, inference_only=True)
+
+    feed_colored = dict(feed)
+    feed_colored["bkg_color"] = jnp.ones((1, N_RAYS, 3), dtype=jnp.float32)
+    _, _, _, out_colored = build_and_run(cfgs, feed_colored, inference_only=True)
+
+    np.testing.assert_allclose(np.asarray(out_colored["rgb"]), np.asarray(out_plain["rgb"]),
+                               atol=1e-5)
