@@ -177,6 +177,29 @@ def main():
     peak_gflops = _matmul_peak_probe(jax, jnp, smoke)
     dispatch_ms = _dispatch_probe(jax, jnp)
 
+    # north-star bridge (BASELINE.json: NGP lego >=35 PSNR <5 min + interactive
+    # 800x800 FPS): measure one full 800x800 render through the eval path and
+    # project the reference benchmark workload (50k steps x 4096 rays ->
+    # 35.38 PSNR, reference docs/benchmark.md:48-54) at the measured step rate.
+    render_wh = 128 if smoke else 800
+    from arcnerf_tpu.datasets import get_dataset
+    from arcnerf_tpu.utils.cfgs import dict_to_obj
+
+    ds_cfgs = dict_to_obj({"val": {
+        "type": "Synthetic", "n_imgs": 1, "wh": [render_wh, render_wh],
+        "cam_radius": 2.5, "white_bkg": True, "center_pixel": True,
+    }})
+    render_ds = get_dataset(ds_cfgs, "data", mode="val")
+    sample = render_ds[0]
+    imgs = trainer.render_image(sample, chunk_rays=n_rays)  # compile
+    t0 = time.perf_counter()
+    imgs = trainer.render_image(sample, chunk_rays=n_rays)
+    render_s = time.perf_counter() - t0
+    assert imgs["rgb"].shape[0] == render_wh
+
+    ref_total_rays = 50000 * 4096
+    proj_min_ref_workload = ref_total_rays / rays_per_sec / 60.0
+
     baseline = 2.0e5  # reference ArcNerf NGP GPU throughput (see header)
     print(json.dumps({
         "metric": "ngp_train_rays_per_sec",
@@ -194,6 +217,9 @@ def main():
         "matmul_peak_gflops": round(peak_gflops, 1),
         "mfu_vs_probe": round(achieved_gflops / peak_gflops, 4),
         "dispatch_ms": round(dispatch_ms, 2),
+        "render_{}px_ms".format(render_wh): round(render_s * 1e3, 1),
+        "render_fps_{}px".format(render_wh): round(1.0 / render_s, 3),
+        "proj_min_ngp_50kx4096": round(proj_min_ref_workload, 1),
     }))
 
 
