@@ -37,6 +37,59 @@ def get_mesh(n_devices=None, axis_name="data"):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def get_mesh_2d(n_model=1, n_devices=None, axis_names=("data", "model")):
+    """2-D (data, model) mesh: ``n_model`` tensor-parallel devices on the
+    minor axis (adjacent devices -> ICI neighbors on a TPU slice), the rest
+    data-parallel. ``n_model=1`` degenerates to the 1-D data mesh with a
+    trailing singleton model axis, so trainer code can treat both uniformly."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % n_model != 0:
+        raise ValueError("n_model={} must divide device count {}".format(n_model, n))
+    grid = np.asarray(devices).reshape(n // n_model, n_model)
+    return Mesh(grid, axis_names)
+
+
+def param_shardings(params, mesh, model_axis="model"):
+    """NamedSharding pytree for a model's params on a 2-D (data, model) mesh.
+
+    Tensor-parallel rule: multi-resolution hashgrid / dense-grid tables — the
+    dominant parameter memory (an (L, T, F) NGP table at hashmap_size 19 is
+    64 MB f32; >=22 outgrows one chip's comfortable HBM share together with
+    its adam moments) — shard on the LEVEL axis over ``model_axis``. Each
+    model-group device then owns L/mp complete per-level tables; GSPMD
+    inserts the table gather / grad collectives over ICI as the lookup
+    needs them, while the params and optimizer state stay RESIDENT sharded —
+    the weight update (the memory-bound consumer of table + moments) runs on
+    L/mp levels per device. MLP params (<1 MB total) replicate. Apply the
+    SAME tree to the adam moments so optimizer state memory shards too
+    (ZeRO-style).
+
+    Reference analogue: none — the CUDA reference replicates the table per
+    GPU (DDP); this is the TPU-native scale-out path (roadmap "Scale-out").
+    """
+    mp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(model_axis, 1)
+
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        is_table = any(n in ("embeddings", "grid") for n in names)
+        if mp > 1 and is_table and hasattr(leaf, "ndim") and leaf.ndim >= 1 \
+                and leaf.shape[0] % mp == 0 and leaf.shape[0] >= mp:
+            return NamedSharding(mesh, P(model_axis, *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh, model_axis="model"):
+    """Place params (or a matching pytree, e.g. adam moments) per
+    :func:`param_shardings`."""
+    shardings = param_shardings(params, mesh, model_axis)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
 def shard_batch(batch, mesh, axis_name="data"):
     """Place a batch dict across the mesh: shard on the leading axis when it
     divides the device count, else on axis 1 — trainer ray batches are

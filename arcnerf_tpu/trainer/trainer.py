@@ -34,7 +34,9 @@ from ..datasets.transforms import get_transforms
 from ..losses import build_loss
 from ..metrics import AverageDictCounter, build_metric, psnr
 from ..models import build_model
-from ..parallel.mesh import get_mesh, init_distributed, replicate, shard_batch, shard_stacked_batch
+from ..parallel.mesh import (
+    get_mesh, get_mesh_2d, init_distributed, shard_batch, shard_params, shard_stacked_batch,
+)
 from ..utils.cfgs import dump_configs, get_value_from_cfgs_field, valid_key_in_cfgs
 from ..utils.logger import Logger, Monitor, is_master
 from ..utils.model_io import load_model, save_model
@@ -66,9 +68,19 @@ class ArcNerfTrainer:
         self.seed = int(seed) if seed is not None else 0
         self.key = jax.random.PRNGKey(self.seed)
 
-        # mesh: 1-axis data parallel over all local devices
-        self.mesh = get_mesh()
-        self.logger.add_log("Mesh: {} devices on axis 'data'".format(self.mesh.devices.size))
+        # mesh: data-parallel over all local devices; optional tensor-parallel
+        # minor axis (dist.model_parallel > 1) shards the hashgrid table +
+        # its adam moments level-wise across model-group devices (ZeRO-style
+        # memory scale-out for hashmap_size >= 22, see parallel.mesh.param_shardings)
+        mp = int(get_value_from_cfgs_field(cfgs.dist, "model_parallel", 1)) if hasattr(cfgs, "dist") else 1
+        if mp > 1:
+            self.mesh = get_mesh_2d(mp)
+            self.logger.add_log(
+                "Mesh: {} devices as (data={}, model={})".format(
+                    self.mesh.devices.size, self.mesh.devices.shape[0], mp))
+        else:
+            self.mesh = get_mesh()
+            self.logger.add_log("Mesh: {} devices on axis 'data'".format(self.mesh.devices.size))
         # keep ray batches divisible by the mesh so they always shard
         # (non-divisible batches would silently replicate)
         n_rays_cfg = int(get_value_from_cfgs_field(cfgs, "n_rays", 4096))
@@ -212,7 +224,9 @@ class ArcNerfTrainer:
         }
         if self.ema_decay:
             state["ema"] = ema_init(params)
-        state = replicate(state, self.mesh)
+        # tables (params + their adam moments + ema shadows, matched by leaf
+        # path) shard over a 'model' axis when present; the rest replicates
+        state = shard_params(state, self.mesh)
         return state
 
     # ------------------------------------------------------------ train step

@@ -69,7 +69,10 @@ def main():
     def train_loss(p, bs, b, key):
         out = trainer.model.apply({"params": p}, b, inference_only=False, bound_state=bs,
                                   rngs={"sampling": key})
-        return jnp.mean((out["rgb"] - b["img"]) ** 2)
+        rgb = out.get("rgb", None)
+        if rgb is None:  # train-mode outputs are keyed rgb_coarse/rgb_fine
+            rgb = next(out[k] for k in sorted(out) if k.startswith("rgb"))
+        return jnp.mean((rgb - b["img"]) ** 2)
 
     key = jax.random.PRNGKey(0)
     fwd_train = jax.jit(train_loss)
