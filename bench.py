@@ -121,8 +121,15 @@ def main():
     # steps run on-device so the tunnel dispatch tax is paid once per stride
     smoke = bool(os.environ.get("BENCH_SMOKE"))  # tiny shapes for CI smoke
     scan_steps = 4 if smoke else 16
-    warmup_strides, timed_strides = (1, 1) if smoke else (2, 4)
-    n_rays = 1024 if smoke else 16384
+    # 32768 rays is the steady-state bucket the dynamic-batch ladder picks
+    # for this scene: measured ~6.9 valid samples/ray once the occupancy
+    # grid settles (~113k valid pts per 16k rays, scripts/probe_big_bucket.py),
+    # so 32k rays ride the same 2^18 compaction budget clip-free — the
+    # reference's dynamic_batch_size semantics (grow rays to fill the
+    # sample budget). Warmup covers occupancy warmup (32) + two optimize
+    # passes so the timed strides measure the settled regime.
+    warmup_strides, timed_strides = (1, 1) if smoke else (4, 4)
+    n_rays = 1024 if smoke else 32768
     update_configs_by_dotlist(cfgs, [
         "--name", "bench_ngp",
         "--progress.epoch", str((warmup_strides + timed_strides) * scan_steps),
