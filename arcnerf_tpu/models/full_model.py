@@ -112,10 +112,15 @@ class FullModel(nn.Module):
         fg_output["depth"] = fg_output["depth"] + lamb * bkg_val("depth", None)
         return fg_output
 
-    def blend_bkg_sigma(self, fg_output, bkg_output, inference_only=False, get_progress=False):
+    def blend_bkg_sigma(self, fg_output, bkg_output, inference_only=False, get_progress=False,
+                        bkg_color=None):
         """sigma blend: concat fg/bkg (sigma, radiance, zvals) and re-run
         ray marching jointly. Invalid fg samples (beyond first bkg zval) are
-        zeroed with jnp.where."""
+        zeroed with jnp.where. ``bkg_color`` (a fed per-ray background,
+        random-bkg training protocol) must composite HERE — the fg model's
+        own composited marching output is discarded by the joint re-march
+        (r2: multivol under random-bkg learned mean-gray because the fed
+        color never reached the joint march)."""
         fg_two_stage = any(k.endswith("_coarse") or k.endswith("_fine") for k in fg_output)
 
         def pick(output, name, stage_key):
@@ -146,7 +151,8 @@ class FullModel(nn.Module):
             # (full_model.py:36): the joint march ends with an inf tail so
             # the last background shell still contributes
             out_all = self.fg_model.ray_marching_wrap(
-                sigma_all, radiance_all, zvals_all, add_inf_z=True, inference_only=inference_only
+                sigma_all, radiance_all, zvals_all, add_inf_z=True, inference_only=inference_only,
+                bkg_color=bkg_color,
             )
             out_all = self.fg_model.output_get_progress(out_all, get_progress, sigma_fg.shape[1])
 
@@ -166,13 +172,14 @@ class FullModel(nn.Module):
             return self.clean_two_stage_progress(blend)
         return run_blend(None, "")
 
-    def blend_output(self, fg_output, bkg_output=None, inference_only=False, get_progress=False):
+    def blend_output(self, fg_output, bkg_output=None, inference_only=False, get_progress=False,
+                     bkg_color=None):
         if bkg_output is None:
             final = self.clean_two_stage_progress(fg_output)
         elif self.bkg_blend == "rgb":
             final = self.blend_bkg_rgb(fg_output, bkg_output)
         elif self.bkg_blend == "sigma":
-            final = self.blend_bkg_sigma(fg_output, bkg_output, inference_only, get_progress)
+            final = self.blend_bkg_sigma(fg_output, bkg_output, inference_only, get_progress, bkg_color)
         else:
             raise NotImplementedError("invalid bkg_blend {}".format(self.bkg_blend))
         if not get_progress:
@@ -226,7 +233,8 @@ class FullModel(nn.Module):
                 bound_state=bound_state.get("bkg", {}),
             )
 
-        output = self.blend_output(fg_output, bkg_output, inference_only, get_progress)
+        output = self.blend_output(fg_output, bkg_output, inference_only, get_progress,
+                                   bkg_color=flat_inputs.get("bkg_color", None))
         output = self.detach_progress(output)
         return self.reshape_output(output, batch_size, n_rays)
 

@@ -184,7 +184,10 @@ class MultiVol(BkgModel):
         # zero sigma outside occupied space so empty rays contribute nothing
         sigma = jnp.where(mask_pts, sigma, 0.0)
 
-        output = self.ray_marching_wrap(sigma, radiance, zvals, inference_only=inference_only)
+        output = self.ray_marching_wrap(
+            sigma, radiance, zvals, inference_only=inference_only,
+            bkg_color=inputs.get("bkg_color", None),
+        )
         output["n_valid_pts"] = jnp.sum(mask_pts)
         return self.output_get_progress(output, get_progress)
 

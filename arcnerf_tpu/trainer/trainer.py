@@ -416,14 +416,23 @@ class ArcNerfTrainer:
         return self.state["params"]
 
     def eval_bkg_color(self, mode="val"):
-        """Background color to composite at eval render time: the dataset's
-        white_bkg / blend color (training composites random bkg onto gt, so
-        eval must supply the gt background explicitly). Models with an rgb-
-        blend background MODEL own their background — supplying a color too
-        would composite it twice (fg marching blends T*color, then the
-        blend adds T*bkg_rgb), so return None for them."""
+        """Background color to composite at eval render time — mirrors the
+        TRAINING-time background protocol.
+
+        Only when the train pipeline composites a bkg_color onto gt and
+        feeds it to the model (scheduler.bkg_color, e.g. the NGP random-bkg
+        recipe) must eval supply the gt background explicitly. A model
+        trained WITHOUT a fed background owns its background however it
+        learned it (white_bkg marching, or the add_inf_z tail shell
+        absorbing the scene background) — compositing the dataset color on
+        top of that double-adds the background: measured volsdf train-view
+        PSNR 19.0 -> 1.7 when white was wrongly composited (r2). Models with
+        an rgb-blend background MODEL likewise own their background."""
         if getattr(self.model, "has_bkg", False) and getattr(self.model, "bkg_blend", "rgb") == "rgb" \
                 and not getattr(self.model, "fg_only", False):
+            return None
+        pipeline = getattr(self, "pipeline", None)
+        if pipeline is None or getattr(pipeline, "bkg_color_mode", None) is None:
             return None
         ds_cfgs = get_value_from_cfgs_field(self.cfgs.dataset, mode, None) if valid_key_in_cfgs(
             self.cfgs, "dataset") else None

@@ -54,10 +54,20 @@ def main():
     )
     max_samples = get_value_from_cfgs_field(cfgs.progress, "max_samples_eval", 25) if hasattr(cfgs, "progress") else 25
     ds_cfgs = get_value_from_cfgs_field(cfgs.dataset, "eval", None)
+    # composite a background only when the TRAINING protocol fed one
+    # (scheduler.bkg_color, e.g. the NGP random-bkg recipe) — a model
+    # trained without it owns its background and compositing double-adds
+    # (see ArcNerfTrainer.eval_bkg_color)
+    train_ds = get_value_from_cfgs_field(cfgs.dataset, "train", None)
+    sched = get_value_from_cfgs_field(train_ds, "scheduler", None)
+    trained_with_bkg = get_value_from_cfgs_field(
+        get_value_from_cfgs_field(sched, "bkg_color", None), "color", None) is not None
     bkg_color = None
     aug = get_value_from_cfgs_field(ds_cfgs, "augmentation", None)
     blend = get_value_from_cfgs_field(aug, "blend_bkg_color", None)
-    if blend is not None:
+    if not trained_with_bkg:
+        pass
+    elif blend is not None:
         bkg_color = blend
     elif get_value_from_cfgs_field(ds_cfgs, "white_bkg", False):
         bkg_color = [1.0, 1.0, 1.0]

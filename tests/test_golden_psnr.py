@@ -26,7 +26,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "expr")
 # family -> (config file, extra dotted overrides, eval-psnr floor)
 # measured values (CPU mesh, seeded): see docs/tests.md "Golden PSNR bars"
 FAMILIES = {
-    "nerf": ("synthetic_nerf.yaml", ["--progress.epoch", "300"], 15.5),
+    "nerf": ("synthetic_nerf.yaml", ["--progress.epoch", "300"], 17.5),
     "ngp": ("synthetic_ngp.yaml", [
         "--progress.epoch", "600", "--progress.epoch_val", "-1",
         "--dataset.train.n_imgs", "10", "--dataset.train.wh", "[80,80]",
@@ -42,9 +42,9 @@ FAMILIES = {
     ], 16.0),
     "mipnerf": ("synthetic_mipnerf.yaml", [], 15.5),
     "nerfpp": ("synthetic_nerfpp.yaml", [], 15.5),
-    "multivol": ("synthetic_multivol.yaml", [], 15.5),
+    "multivol": ("synthetic_multivol.yaml", [], 16.5),
     "hdrnerf": ("synthetic_hdrnerf.yaml", [], 15.5),
-    "volsdf": ("synthetic_volsdf.yaml", [], 13.0),
+    "volsdf": ("synthetic_volsdf.yaml", [], 17.5),
 }
 
 
