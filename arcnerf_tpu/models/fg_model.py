@@ -45,8 +45,14 @@ def _cached_obj_bound(model_cfgs):
     key = repr(obj_to_dict(bound_cfgs)) if bound_cfgs is not None else None
     hit = _BOUND_CACHE.get(key)
     if hit is None:
+        # bounded LRU: long test sessions build many models with distinct
+        # configs; each bound holds numpy volumes, so cap the cache
+        while len(_BOUND_CACHE) >= 32:
+            _BOUND_CACHE.pop(next(iter(_BOUND_CACHE)))
         hit = build_obj_bound(model_cfgs)
         _BOUND_CACHE[key] = hit
+    else:
+        _BOUND_CACHE[key] = _BOUND_CACHE.pop(key)  # refresh LRU order
     return hit
 
 

@@ -607,8 +607,20 @@ class ArcNerfTrainer:
             sample = dataset[i]
             imgs = self.render_image(sample, bkg_color=bkg_color)
             gt = sample["img"].reshape(imgs["rgb"].shape)
-            val_psnr = float(psnr(jnp.asarray(imgs["rgb"]), jnp.asarray(gt)))
-            counter({"psnr": val_psnr})
+            gt_j, pred_j = jnp.asarray(gt), jnp.asarray(imgs["rgb"])
+            # full configured metric dict at val epochs (SSIM etc.), like the
+            # reference's eval_func.py:34-53 — not just a hand-computed PSNR
+            vals = {"psnr": float(psnr(pred_j, gt_j))}
+            if self.metric_factory is not None:
+                m_in = {"img": gt_j, "H": gt.shape[0], "W": gt.shape[1]}
+                if sample.get("mask") is not None:
+                    m_in["mask"] = jnp.asarray(sample["mask"]).reshape(gt.shape[:2])
+                try:
+                    m_out = self.metric_factory(m_in, {"rgb": pred_j})
+                    vals.update({k: float(v) for k, v in m_out.items() if k != "names"})
+                except Exception as e:  # e.g. MaskPSNR configured but no mask
+                    self.logger.warn("val metric failed: {}".format(e))
+            counter(vals)
             if is_master():
                 self._write_progress_img(imgs, gt, "{}_ep{}_{}".format(mode, epoch, i))
         summary = counter.get_avg_summary()

@@ -78,6 +78,26 @@ def build_scene_graph(dataset, bounds=None, max_thumbs=24, thumb_px=96):
     return graph
 
 
+def colorize_output(imgs, mode="rgb"):
+    """Render-output dict -> (h, w, 3) uint8 for the requested view mode.
+
+    depth: robust 2-98 percentile normalization + turbo colormap (matches
+    the reference viewer's depth visualization); mask: grayscale opacity.
+    Falls back to rgb when the requested channel is absent."""
+    import cv2
+
+    if mode == "depth" and "depth" in imgs:
+        d = np.asarray(imgs["depth"], dtype=np.float32)
+        lo, hi = np.percentile(d, 2.0), np.percentile(d, 98.0)
+        norm = np.clip((d - lo) / max(hi - lo, 1e-8), 0.0, 1.0)
+        turbo = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_TURBO)
+        return turbo[..., ::-1]  # BGR -> RGB
+    if mode == "mask" and "mask" in imgs:
+        m = (np.clip(np.asarray(imgs["mask"], dtype=np.float32), 0, 1) * 255).astype(np.uint8)
+        return np.stack([m, m, m], axis=-1)
+    return (np.clip(imgs["rgb"], 0, 1) * 255).astype(np.uint8)
+
+
 class ViewerState:
     """Holds the render function + scene metadata; renders on demand."""
 
@@ -99,8 +119,14 @@ class ViewerState:
         with self._lock:
             self.render_chunk_fn = render_chunk_fn
 
-    def render_pose(self, c2w, res=128):
-        """c2w (4, 4) -> (h, w, 3) uint8 at the closest ladder resolution."""
+    def render_pose(self, c2w, res=128, mode="rgb"):
+        """c2w (4, 4) -> (h, w, 3) uint8 at the closest ladder resolution.
+
+        ``mode`` selects the render output like the reference app's
+        render-type dropdown (ns_viewer/server/viewer_utils.py:205-657):
+        'rgb', 'depth' (turbo-colormapped, robust-normalized), or 'mask'
+        (accumulated opacity, grayscale).
+        """
         res = min(self.RES_LADDER, key=lambda r: abs(r - res))
         scale = res / max(self.W, self.H)
         w, h = max(int(self.W * scale), 16), max(int(self.H * scale), 16)
@@ -119,12 +145,12 @@ class ViewerState:
                   "H": h, "W": w}
         with self._lock:
             imgs = render_full_image(self.render_chunk_fn, sample, self.chunk_rays)
-        return (np.clip(imgs["rgb"], 0, 1) * 255).astype(np.uint8)
+        return colorize_output(imgs, mode)
 
-    def render_jpeg_b64(self, c2w, res=128, quality=80):
+    def render_jpeg_b64(self, c2w, res=128, quality=80, mode="rgb"):
         import cv2
 
-        frame = self.render_pose(c2w, res)
+        frame = self.render_pose(c2w, res, mode)
         ok, buf = cv2.imencode(".jpg", frame[..., ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), quality])
         assert ok
         return base64.b64encode(buf.tobytes()).decode()
@@ -166,12 +192,14 @@ def make_app(state):
                     return
                 c2w = np.asarray(msg["c2w"], dtype=np.float64).reshape(4, 4)
                 res = int(msg.get("res", 128))
+                mode = str(msg.get("mode", "rgb"))
                 t0 = time.perf_counter()
-                jpeg = state.render_jpeg_b64(c2w, res)
+                jpeg = state.render_jpeg_b64(c2w, res, mode=mode)
                 self.write_message(json.dumps({
                     "type": "frame",
                     "jpeg": jpeg,
                     "res": res,
+                    "mode": mode,
                     "render_ms": round((time.perf_counter() - t0) * 1000, 1),
                     "info": state.train_state_info,
                     "paused": bool(state.control is not None and state.control.paused),

@@ -105,5 +105,7 @@ if __name__ == "__main__":  # calibration: python tests/test_golden_psnr.py <fam
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    # direct-run bootstrap: sys.path[0] is tests/, the package root is above
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     fam = sys.argv[1]
     print(json.dumps(run_family(fam, floor_check=False)))

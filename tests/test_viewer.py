@@ -17,7 +17,9 @@ def fake_render_chunk(feed):
     """Deterministic fake renderer: rgb encodes ray direction."""
     rays_d = np.asarray(feed["rays_d"])  # (1, chunk, 3)
     rgb = (rays_d + 1.0) / 2.0
-    return {"rgb": rgb, "depth": np.ones(rays_d.shape[:2], dtype=np.float32)}
+    depth = 1.0 + np.asarray(rays_d[..., 0])  # gradient so depth colormap varies
+    mask = (np.asarray(rays_d[..., 2]) > 0.99).astype(np.float32)
+    return {"rgb": rgb, "depth": depth, "mask": mask}
 
 
 def make_state():
@@ -36,6 +38,23 @@ def test_render_pose():
 
     jpeg = state.render_jpeg_b64(c2w, res=64)
     assert len(jpeg) > 100
+
+
+def test_render_modes():
+    """rgb/depth/mask render-mode selection (VERDICT r2 item 6; reference
+    viewer render-type handling ns_viewer/server/viewer_utils.py:205-657)."""
+    state = make_state()
+    c2w = look_at(np.array([0.0, 0.0, -2.5]), np.zeros(3))
+    rgb = state.render_pose(c2w, res=64, mode="rgb")
+    depth = state.render_pose(c2w, res=64, mode="depth")
+    mask = state.render_pose(c2w, res=64, mode="mask")
+    assert rgb.shape == depth.shape == mask.shape and depth.dtype == np.uint8
+    # depth colormap output differs from rgb; mask is grayscale
+    assert not np.array_equal(rgb, depth)
+    assert np.array_equal(mask[..., 0], mask[..., 1]) and np.array_equal(mask[..., 1], mask[..., 2])
+    assert mask.max() == 255 and mask.min() == 0  # fake mask has both classes
+    # unknown channel falls back to rgb
+    assert np.array_equal(state.render_pose(c2w, res=64, mode="normal"), rgb)
 
 
 def test_websocket_roundtrip():
