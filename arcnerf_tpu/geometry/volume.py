@@ -285,6 +285,45 @@ class Volume:
         occ = bitfield[safe[:, 0], safe[:, 1], safe[:, 2]]
         return valid & occ
 
+    def get_flat_voxel_idx_from_coords(self, x, y, z):
+        """Per-axis coords (any same shape) -> (flat voxel idx, valid).
+
+        SoA form of get_voxel_idx_from_xyz: three clean-layout planes
+        instead of a (..., 3) tensor whose minor dim tile-pads 3->128 on
+        TPU (a 42x HBM blowup at (B, N, 3) sample grids — measured 191 ms
+        for the materialized pts at the 32k-ray bucket)."""
+        vs = self.get_voxel_size()
+        start = self.get_range_np()[:, 0]
+        n = self.n_grid
+        fx = (x - float(start[0])) / vs[0]
+        fy = (y - float(start[1])) / vs[1]
+        fz = (z - float(start[2])) / vs[2]
+        valid = (fx >= 0) & (fx < n) & (fy >= 0) & (fy < n) & (fz >= 0) & (fz < n)
+        ix = jnp.clip(fx.astype(jnp.int32), 0, n - 1)
+        iy = jnp.clip(fy.astype(jnp.int32), 0, n - 1)
+        iz = jnp.clip(fz.astype(jnp.int32), 0, n - 1)
+        return (ix * n + iy) * n + iz, valid
+
+    def check_flat_in_occ_voxel(self, flat_idx, valid, bitfield):
+        """Occupancy lookup by flat voxel index; returns valid & occupied.
+
+        On TPU uses a ROW-FORM gather — full 128-lane uint8 rows + fused
+        one-hot lane extract (33.5 ms vs 68.2 ms for the element-granular
+        3d-index gather at 4.2M points, scripts/probe_hotpath.py). On CPU
+        (and for grids not divisible by 128) a flat take is faster."""
+        import jax
+
+        n_voxel = self.get_n_voxel()
+        if jax.default_backend() == "tpu" and n_voxel % 128 == 0:
+            rows = bitfield.reshape(n_voxel // 128, 128).astype(jnp.uint8)
+            fr = flat_idx.reshape(-1)
+            r = jnp.take(rows, fr >> 7, axis=0)  # (P, 128)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+            hit = jnp.sum(jnp.where(lanes == (fr & 127)[:, None], r, 0), axis=1) > 0
+            return valid & hit.reshape(flat_idx.shape)
+        occ = jnp.take(bitfield.reshape(-1), flat_idx.reshape(-1)).reshape(flat_idx.shape)
+        return valid & occ
+
     # --------------------------------------------------------------- opafield
     def create_opafield(self, init=0.0):
         """-> (n_grid, n_grid, n_grid) float opacity field."""

@@ -67,10 +67,11 @@ class Base3dModel(nn.Module):
     # --------------------------------------------------------- ray marching
     def ray_marching_wrap(
         self, sigma, radiance, zvals, add_inf_z=None, alpha=None, inference_only=False, weights_only=False,
-        bkg_color=None
+        bkg_color=None, mask_pts=None
     ):
         """ray_marching with model cfg defaults (add_inf_z, noise_std,
-        white_bkg); see reference base_3d_model.py:113."""
+        white_bkg); see reference base_3d_model.py:113. ``mask_pts`` enables
+        the scattered-mask marching mode (unsorted occupancy masks)."""
         noise_std = 0.0 if inference_only else float(self.get_ray_cfgs("noise_std") or 0.0)
         key = self._sample_key(inference_only) if noise_std > 0.0 else None
         return ray_marching(
@@ -84,6 +85,7 @@ class Base3dModel(nn.Module):
             alpha=alpha,
             bkg_color=bkg_color,
             key=key,
+            mask_pts=mask_pts,
         )
 
     def output_get_progress(self, output, get_progress=False, n_fg=None):

@@ -101,6 +101,21 @@ class FgModel(Base3dModel):
             bounding_radius=self.get_ray_cfgs("bounding_radius"),
         )
 
+    def use_scattered_masks(self):
+        """Scattered (unsorted) occupancy masks let the volume/bitfield
+        sampler skip handle_valid_mask_zvals's per-ray stable argsort
+        (281 ms at the 32k bucket); ray_marching(mask_pts=...) reproduces
+        the compacted numerics exactly. Valid only when nothing downstream
+        assumes left-compacted zvals: density models (zero-fill is exact),
+        no importance upsampling (merge_full_mask keeps valid-first), no
+        sigma-blend background (joint re-marching concatenates fg zvals)."""
+        if self.sigma_reverse() or self.get_ray_cfgs("n_importance") > 0:
+            return False
+        bkg = get_value_from_cfgs_field(self.cfgs.model, "background", None)
+        if bkg is not None and get_value_from_cfgs_field(bkg, "bkg_blend", "rgb") == "sigma":
+            return False
+        return True
+
     def get_zvals_from_near_far(self, near, far, n_pts, inference_only=False, rays_o=None, rays_d=None,
                                 bound_state=None):
         bound = self.get_obj_bound()
@@ -115,6 +130,7 @@ class FgModel(Base3dModel):
             key=self._sample_key(inference_only),
             rays_o=rays_o,
             rays_d=rays_d,
+            keep_order=self.use_scattered_masks(),
         )
 
     # -------------------------------------------------------------- forward
@@ -134,6 +150,9 @@ class FgModel(Base3dModel):
         inputs = dict(inputs)
         inputs["zvals"] = zvals
         inputs["mask_pts"] = mask_pts
+        # static flag: mask is in ladder order (not left-compacted) — models
+        # must pass it to ray_marching for mask-aware deltas
+        inputs["mask_scattered"] = self.use_scattered_masks() and mask_pts is not None
 
         if mask_pts is not None:
             ray_has_pts = jnp.any(mask_pts, axis=1)
@@ -150,6 +169,27 @@ class FgModel(Base3dModel):
     def _forward(self, inputs, inference_only=False, get_progress=False, cur_epoch=0, total_epoch=300000):
         raise NotImplementedError("implement _forward in the concrete model")
 
+    @staticmethod
+    def _compact_sel(mask_pts, budget):
+        """Flat indices of the first ``budget`` valid points under ANY
+        (B, N) mask pattern (prefix or scattered): global inclusive cumsum
+        (per-row cumsum + row offsets, all in clean (B, N) layouts) +
+        one searchsorted of ``budget`` keys. Replaces the per-ray
+        searchsorted that required left-compacted (prefix) masks — and so
+        removes the need for handle_valid_mask_zvals's stable argsort
+        (measured 281 ms at (32k, 128)) on the density-model path.
+        Returns (sel (budget,) int32, sel_valid (budget,) bool)."""
+        n_rays, n_pts = mask_pts.shape
+        total = n_rays * n_pts
+        row = jnp.cumsum(mask_pts.astype(jnp.int32), axis=1)  # (B, N) inclusive
+        tot = row[:, -1]
+        off = jnp.cumsum(tot) - tot  # (B,) exclusive ray offsets
+        csum = (row + off[:, None]).reshape(-1)  # global inclusive cumsum, sorted
+        k = jnp.arange(budget, dtype=jnp.int32)
+        sel = jnp.clip(jnp.searchsorted(csum, k + 1, side="left"), 0, total - 1)
+        sel_valid = k < csum[-1]
+        return sel.astype(jnp.int32), sel_valid
+
     def compact_point_eval(self, fn, pts, dirs, mask_pts, budget, fill="zero"):
         """Evaluate ``fn(pts, dirs) -> tuple of (N, ...) arrays`` on only the
         first ``budget`` valid points, scattering results back to the full
@@ -160,30 +200,19 @@ class FgModel(Base3dModel):
         means "on the surface").
 
         Static-shape replacement of the reference's dynamic boolean
-        compaction + scatter-back (fg_model.py:264). masks are per-ray
-        PREFIXES (handle_valid_mask_zvals left-compacts; merge_full_mask
-        preserves valid-first), so the k-th valid point globally is
-        (ray r, slot k - offset[r]) with offset = exclusive cumsum of
-        per-ray valid counts — a searchsorted over B rays instead of a
-        total-size sort.
+        compaction + scatter-back (fg_model.py:264).
         """
         n_rays, n_pts = mask_pts.shape
         total = n_rays * n_pts
-        n_valid = jnp.sum(mask_pts, axis=1)  # (B,)
-        offsets = jnp.cumsum(n_valid) - n_valid  # exclusive prefix sum
-        total_valid = offsets[-1] + n_valid[-1]
-        k = jnp.arange(budget)
-        ray_id = jnp.clip(jnp.searchsorted(offsets, k, side="right") - 1, 0, n_rays - 1)
-        slot = jnp.clip(k - offsets[ray_id], 0, n_pts - 1)
-        sel = ray_id * n_pts + slot
-        sel_valid = k < total_valid
+        sel, sel_valid = self._compact_sel(mask_pts, budget)
 
         outs_c = fn(pts[sel], dirs[sel])
         # out-of-budget rows all clamp onto the same (last) index and would
         # collide with a real point — divert them to a dump slot at `total`
         sel_safe = jnp.where(sel_valid, sel, total)
         outs = []
-        last_idx = jnp.maximum(n_valid - 1, 0)  # (B,) last valid slot per ray
+        iota = jnp.arange(n_pts, dtype=jnp.int32)[None, :]
+        last_idx = jnp.maximum(jnp.max(jnp.where(mask_pts, iota, -1), axis=1), 0)  # (B,)
         for o in outs_c:
             buf = jnp.zeros((total + 1,) + o.shape[1:], dtype=o.dtype)
             full = buf.at[sel_safe].set(o)[:total]
@@ -202,26 +231,45 @@ class FgModel(Base3dModel):
     ):
         """Evaluate sigma/radiance at the (ray, sample) points; compacted to
         the static point budget (obj_bound.log_max_allowance) when masks
-        mark most points invalid. Invalid points keep sigma=0 — their
-        left-compacted zvals duplicate the last valid sample, so ray
-        marching gives them zero weight either way."""
+        mark most points invalid. Invalid points keep sigma=0 — zero weight
+        in ray marching whether the mask is left-compacted (duplicate
+        zvals) or scattered (mask-aware deltas)."""
         n_rays, n_pts = zvals.shape
         total = n_rays * n_pts
-        pts = get_ray_points_by_zvals(rays_o, rays_d, zvals).reshape(-1, 3)
-        dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, n_pts, 3)).reshape(-1, 3)
 
         budget = self.get_render_cfgs("max_allowance")
         use_compact = (
             mask_pts is not None and isinstance(budget, int) and 0 < budget < total
         )
         if not use_compact:
+            pts = get_ray_points_by_zvals(rays_o, rays_d, zvals).reshape(-1, 3)
+            dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, n_pts, 3)).reshape(-1, 3)
             sigma, radiance = self._forward_pts_dir(geo_net, radiance_net, pts, dirs)
             return sigma.reshape(n_rays, n_pts), radiance.reshape(n_rays, n_pts, 3)
 
-        sigma, radiance = self.compact_point_eval(
-            lambda p, d: self._forward_pts_dir(geo_net, radiance_net, p, d), pts, dirs, mask_pts, budget
-        )
-        return sigma.reshape(n_rays, n_pts), radiance.reshape(n_rays, n_pts, 3)
+        # SoA compaction: never materialize the (B*N, 3) point tensor (its
+        # minor dim tile-pads 3->128 on TPU — measured 191 ms at the 32k
+        # bucket). Gather the budgeted points' z values flat and rebuild
+        # (budget, 3) pts from the per-ray origins/dirs.
+        sel, sel_valid = self._compact_sel(mask_pts, budget)
+        ray_id = sel // n_pts
+        z_sel = jnp.take(zvals.reshape(-1), sel)  # (budget,)
+        o_sel = jnp.take(rays_o, ray_id, axis=0)  # (budget, 3)
+        d_sel = jnp.take(rays_d, ray_id, axis=0)
+        pts_sel = o_sel + z_sel[:, None] * d_sel
+
+        sigma_c, radiance_c = self._forward_pts_dir(geo_net, radiance_net, pts_sel, d_sel)
+        sel_safe = jnp.where(sel_valid, sel, total)
+        # 4 flat channel scatters instead of one (total, 3) scatter: the
+        # rank-2 tiny-minor-dim buffer lays out badly on TPU and its VJP
+        # gather costs 2x (28.6 -> 13.6 ms, scripts/probe_hotpath2.py)
+        sigma = jnp.zeros((total + 1,), dtype=sigma_c.dtype).at[sel_safe].set(sigma_c)[:total]
+        chans = [
+            jnp.zeros((total + 1,), dtype=radiance_c.dtype).at[sel_safe].set(radiance_c[:, c])[:total]
+            for c in range(3)
+        ]
+        radiance = jnp.stack([c.reshape(n_rays, n_pts) for c in chans], axis=-1)
+        return sigma.reshape(n_rays, n_pts), radiance
 
     # ----------------------------------------------------- invalid-ray fill
     def update_values_for_invalid_rays(self, output_valid, mask, rand_bkg_color=None):

@@ -80,6 +80,8 @@ class HDRNeRF(NeRF):
             exp_time = exp_time.reshape(-1)
         output = {}
 
+        march_mask = mask_pts if inputs.get("mask_scattered") else None
+
         def run_stage(stage, zvals, mask_pts):
             nets = self.get_coarse_net() if stage == "coarse" else self.get_fine_net()
             mlps = self._get_exp_mlps(stage)
@@ -89,10 +91,12 @@ class HDRNeRF(NeRF):
             n_rays, n_pts = sigma.shape
             exp_rep = jnp.repeat(exp_time, n_pts, axis=0)
             rgb_l = self.forward_exp_mlps(mlps, rgb_h.reshape(-1, 3), exp_rep).reshape(n_rays, n_pts, 3)
-            out = self.ray_marching_wrap(sigma, rgb_l, zvals, inference_only=inference_only, bkg_color=bkg_color)
+            out = self.ray_marching_wrap(sigma, rgb_l, zvals, inference_only=inference_only,
+                                         bkg_color=bkg_color, mask_pts=march_mask)
             if out.get("rgb") is not None:
                 out["hdr"] = self.ray_marching_wrap(
-                    sigma, jnp.exp(rgb_h), zvals, inference_only=inference_only, bkg_color=bkg_color
+                    sigma, jnp.exp(rgb_h), zvals, inference_only=inference_only, bkg_color=bkg_color,
+                    mask_pts=march_mask
                 )["rgb"]
             if not inference_only:
                 out["unit_exp"] = self.point_constraint(mlps)

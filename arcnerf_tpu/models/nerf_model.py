@@ -43,13 +43,15 @@ class NeRF(FgModel):
         rays_o, rays_d = inputs["rays_o"], inputs["rays_d"]
         zvals, mask_pts = inputs["zvals"], inputs["mask_pts"]
         bkg_color = inputs.get("bkg_color", None)
+        march_mask = mask_pts if inputs.get("mask_scattered") else None
         output = {}
 
         sigma, radiance = self.get_sigma_radiance_by_mask_pts(
             *self.get_coarse_net(), rays_o, rays_d, zvals, mask_pts, inference_only
         )
         output_coarse = self.ray_marching_wrap(
-            sigma, radiance, zvals, inference_only=inference_only, bkg_color=bkg_color
+            sigma, radiance, zvals, inference_only=inference_only, bkg_color=bkg_color,
+            mask_pts=march_mask
         )
         coarse_weights = output_coarse["weights"]
         output["coarse"] = self.output_get_progress(output_coarse, get_progress)

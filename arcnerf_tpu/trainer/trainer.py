@@ -66,6 +66,12 @@ class ArcNerfTrainer:
 
         seed = get_value_from_cfgs_field(cfgs.dist, "random_seed", None) if hasattr(cfgs, "dist") else None
         self.seed = int(seed) if seed is not None else 0
+        # rbg PRNG: ~4x cheaper than the default threefry on TPU for the
+        # per-step perturb/noise draws (284 -> 69 ms for a (32k, 128)
+        # uniform, scripts/probe_hotpath2.py); sampling jitter needs no
+        # cryptographic stream. Override with dist.rng_impl: threefry.
+        rng_impl = get_value_from_cfgs_field(cfgs.dist, "rng_impl", "rbg") if hasattr(cfgs, "dist") else "rbg"
+        jax.config.update("jax_default_prng_impl", str(rng_impl))
         self.key = jax.random.PRNGKey(self.seed)
 
         # mesh: data-parallel over all local devices; optional tensor-parallel
@@ -162,6 +168,7 @@ class ArcNerfTrainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._scan_steps_fn = jax.jit(self._scan_steps_impl, donate_argnums=(0,))
         self._render_chunk = jax.jit(self._render_chunk_impl)
+        self._render_scan = jax.jit(self._render_scan_impl)
         self._optimize_warmup = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, True))
         self._optimize_regular = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, False))
 
@@ -405,6 +412,26 @@ class ArcNerfTrainer:
             {"params": params}, feed_in, inference_only=True, bound_state=bound_state
         )
 
+    def _render_scan_impl(self, params, bound_state, feed_stack):
+        """Full-image render as ONE device dispatch: lax.scan over the
+        (T, 1, chunk, ...) ray-chunk stack instead of T sequential host
+        round trips (the r2 eval path paid ~27 ms dispatch + sync per
+        chunk — 40 chunks per 800x800 image). Only per-ray outputs are
+        stacked; per-point progress tensors never leave the device."""
+
+        def body(carry, feed):
+            out = self.model.apply(
+                {"params": params}, feed, inference_only=True, bound_state=bound_state
+            )
+            keep = {
+                k: v for k, v in out.items()
+                if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[:2] == (1, feed["rays_o"].shape[1])
+            }
+            return carry, keep
+
+        _, outs = jax.lax.scan(body, 0, feed_stack)
+        return outs
+
     def eval_params(self):
         """Params used for rendering: debiased EMA shadow when configured
         (reference applies the EMA in-place each step; here the raw params
@@ -447,8 +474,8 @@ class ArcNerfTrainer:
         return None
 
     def render_image(self, sample, chunk_rays=None, bkg_color=None):
-        """Render a full image by chunking rays (model.chunk_rays cfg);
-        returns dict of (H, W, ...)."""
+        """Render a full image in ONE scan-batched device dispatch
+        (chunk_rays rays per scan step); returns dict of (H, W, ...)."""
         if chunk_rays is None:
             chunk_rays = min(int(self.model.get_chunk_rays()), 16384)
         # keep the (padded) chunk divisible by the mesh so full-image eval
@@ -457,27 +484,26 @@ class ArcNerfTrainer:
         chunk_rays = max(n_dev, (chunk_rays // n_dev) * n_dev)
         h, w = int(sample["H"]), int(sample["W"])
         n = sample["rays_o"].shape[0]
-        outs = []
-        for s in range(0, n, chunk_rays):
-            e = min(s + chunk_rays, n)
-            chunk = {}
-            for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
-                if k in sample and sample[k] is not None:
-                    piece = sample[k][s:e]
-                    if piece.shape[0] < chunk_rays:  # pad for static shape
-                        pad = chunk_rays - piece.shape[0]
-                        piece = np.concatenate([piece, np.repeat(piece[-1:], pad, axis=0)], axis=0)
-                    chunk[k] = jnp.asarray(piece)[None]
-            if bkg_color is not None:
-                chunk["bkg_color"] = jnp.tile(jnp.asarray(bkg_color, dtype=jnp.float32), (1, chunk_rays, 1))
-            chunk = shard_batch(chunk, self.mesh)  # rays shard 8-way on axis 1
-            out = self._render_chunk(self.eval_params(), self.state["bound_state"], chunk)
-            outs.append({k: np.asarray(v[0])[: e - s] for k, v in out.items()
-                         if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] == chunk_rays})
-        merged = {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+        n_chunks = (n + chunk_rays - 1) // chunk_rays
+        total = n_chunks * chunk_rays
+
+        stack = {}
+        for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+            if k in sample and sample[k] is not None:
+                arr = np.asarray(sample[k])
+                if arr.shape[0] < total:  # pad tail chunk for static shape
+                    arr = np.concatenate([arr, np.repeat(arr[-1:], total - arr.shape[0], axis=0)], axis=0)
+                stack[k] = arr.reshape((n_chunks, 1, chunk_rays) + arr.shape[1:])
+        if bkg_color is not None:
+            stack["bkg_color"] = np.broadcast_to(
+                np.asarray(bkg_color, dtype=np.float32), (n_chunks, 1, chunk_rays, 3)
+            ).copy()
+        stack = shard_stacked_batch(stack, self.mesh)  # rays shard on axis 2
+        outs = self._render_scan(self.eval_params(), self.state["bound_state"], stack)
         imgs = {}
-        for k, v in merged.items():
-            imgs[k] = v.reshape(h, w, *v.shape[1:])
+        for k, v in outs.items():
+            flat = np.asarray(v).reshape((total,) + v.shape[3:])[:n]
+            imgs[k] = flat.reshape((h, w) + flat.shape[1:])
         return imgs
 
     # ------------------------------------------------------------- main loop
