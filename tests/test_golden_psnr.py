@@ -107,5 +107,14 @@ if __name__ == "__main__":  # calibration: python tests/test_golden_psnr.py <fam
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     # direct-run bootstrap: sys.path[0] is tests/, the package root is above
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # env alone is NOT enough: the axon sitecustomize may have registered the
+    # TPU tunnel with priority over env selection — force cpu post-import
+    # exactly like tests/conftest.py, or the "cpu" calibration run silently
+    # fights the tunnel (remote compiles, SIGILL flakes)
+    import jax
+
+    jax.config.update("jax_enable_x64", False)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", "calibration must run on the CPU mesh"
     fam = sys.argv[1]
     print(json.dumps(run_family(fam, floor_check=False)))

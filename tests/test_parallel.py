@@ -204,10 +204,12 @@ def test_trainer_model_parallel_smoke():
 
 
 def test_two_process_multihost_grad_parity():
-    """Real jax.distributed path: spawn 2 localhost processes (2 virtual CPU
-    devices each), run one data-parallel grad step on a global 4-device
-    mesh, assert both processes' all-reduced gradients match the
-    single-process gradient (VERDICT r1 item 6; reference analogue:
+    """Real jax.distributed path running the REAL tiny-NGP train step (the
+    same program __graft_entry__.dryrun_multichip compiles): spawn 2
+    localhost processes (2 virtual CPU devices each) forming a global
+    4-device mesh, ray batch sharded across processes, grads all-reduced by
+    GSPMD — assert [loss, grad_l2] matches the same program run
+    single-process (VERDICT r2 item 7; reference analogue:
     torch.distributed.launch, scripts/gpu.sh)."""
     import socket
     import subprocess
@@ -221,6 +223,7 @@ def test_two_process_multihost_grad_parity():
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     with tempfile.TemporaryDirectory() as td:
         outs = [os.path.join(td, "g{}.npy".format(i)) for i in range(2)]
+        ref_out = os.path.join(td, "ref.npy")
         env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
         procs = [
             subprocess.Popen(
@@ -228,16 +231,19 @@ def test_two_process_multihost_grad_parity():
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
             for i in range(2)
         ]
-        logs = [p.communicate(timeout=240)[0].decode() for p in procs]
+        logs = [p.communicate(timeout=600)[0].decode() for p in procs]
         for p, log in zip(procs, logs):
             assert p.returncode == 0, log[-2000:]
 
-        # single-process reference gradient on the same deterministic data
-        rng = np.random.default_rng(0)
-        x = rng.normal(size=(64, 3)).astype(np.float32)
-        y = rng.normal(size=(64, 4)).astype(np.float32)
-        w = rng.normal(size=(3, 4)).astype(np.float32)
-        g_ref = jax.grad(lambda w, x, y: jnp.mean((x @ w - y) ** 2))(
-            jnp.asarray(w), jnp.asarray(x), jnp.asarray(y))
+        # single-process run of the SAME program (1 process, 4 devices)
+        ref = subprocess.run(
+            [sys.executable, worker, coordinator, "1", "0", ref_out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=600)
+        assert ref.returncode == 0, ref.stdout.decode()[-2000:]
+
+        loss_ref, gl2_ref = np.load(ref_out)
+        assert np.isfinite(loss_ref) and gl2_ref > 0
         for path in outs:
-            np.testing.assert_allclose(np.load(path), np.asarray(g_ref), atol=1e-5)
+            loss_i, gl2_i = np.load(path)
+            np.testing.assert_allclose(loss_i, loss_ref, rtol=1e-4)
+            np.testing.assert_allclose(gl2_i, gl2_ref, rtol=1e-3)
