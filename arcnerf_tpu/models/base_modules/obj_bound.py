@@ -34,6 +34,19 @@ from ...utils.cfgs import get_value_from_cfgs_field, valid_key_in_cfgs
 from ...utils.registry import BOUND_REGISTRY
 
 
+def _cap_pts_per_ray(mask_pts, inference_only, cap):
+    """Inference-time early-termination analogue (reference CUDA march's
+    trans_shift cutoff, ray_helper.py:476 semantics): keep only the first
+    ``cap`` valid samples per ray, front to back. Samples past the cap sit
+    behind ~opaque surfaces (T ~ 0) on occupancy-culled scenes. Also makes
+    eval chunks budget-safe: chunk_rays * cap bounds the compacted point
+    count, so the static budget cannot silently drop points mid-image."""
+    if not inference_only or not cap:
+        return mask_pts
+    rank = jnp.cumsum(mask_pts.astype(jnp.int32), axis=1)
+    return mask_pts & (rank <= int(cap))
+
+
 def _occ_mask_soa(volume, bitfield, rays_o, rays_d, zvals):
     """(B,) rays x (B, N) zvals -> (B, N) in-occupied-voxel mask, computed
     axis-by-axis (no (B, N, 3) point tensor) with a row-form bitfield
@@ -180,6 +193,7 @@ class VolumeBound(BasicBound):
         params["ray_sample_acc"] = get_value_from_cfgs_field(self.cfgs, "ray_sample_acc", False)
         params["ray_sample_fix_step"] = get_value_from_cfgs_field(self.cfgs, "ray_sample_fix_step", False)
         params["near_distance"] = get_value_from_cfgs_field(self.cfgs, "near_distance", 0.0)
+        params["eval_max_pts_per_ray"] = get_value_from_cfgs_field(self.cfgs, "eval_max_pts_per_ray", None)
         return params
 
     def init_state(self):
@@ -229,6 +243,7 @@ class VolumeBound(BasicBound):
         # bitfield gather — no (B*N, 3) point tensor (see volume.py
         # get_flat_voxel_idx_from_coords for the layout rationale)
         mask_pts = mask_pts & _occ_mask_soa(self.volume, state["bitfield"], rays_o, rays_d, zvals)
+        mask_pts = _cap_pts_per_ray(mask_pts, inference_only, self.get_optim_cfgs("eval_max_pts_per_ray"))
         if keep_order:
             # scattered-mask mode: ray_marching(mask_pts=...) reproduces the
             # compacted numerics without the per-ray stable sort
@@ -316,6 +331,7 @@ class BitfieldBound(BasicBound):
         params["ray_sample_acc"] = get_value_from_cfgs_field(self.cfgs, "ray_sample_acc", True)
         params["near_distance"] = get_value_from_cfgs_field(self.cfgs, "near_distance", 0.0)
         params["opa_thres"] = get_value_from_cfgs_field(self.cfgs, "opa_thres", 0.01)
+        params["eval_max_pts_per_ray"] = get_value_from_cfgs_field(self.cfgs, "eval_max_pts_per_ray", None)
         return params
 
     def init_state(self):
@@ -355,6 +371,7 @@ class BitfieldBound(BasicBound):
         fix_t = self.volume.get_diag_len() / n_pts
         zvals, mask_pts = get_zvals_from_near_far_fix_step(near, far, fix_t, n_pts, key=perturb_key)
         mask_pts = mask_pts & _occ_mask_soa(self.volume, state["bitfield"], rays_o, rays_d, zvals)
+        mask_pts = _cap_pts_per_ray(mask_pts, inference_only, self.get_optim_cfgs("eval_max_pts_per_ray"))
         if keep_order:
             return zvals, mask_pts
         zvals, mask_pts = handle_valid_mask_zvals(zvals, mask_pts)

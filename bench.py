@@ -198,6 +198,11 @@ def main():
     }})
     render_ds = get_dataset(ds_cfgs, "data", mode="val")
     sample = render_ds[0]
+    # inference render mode: first-16-valid-samples-per-ray cap (the
+    # early-termination analogue; see obj_bound._cap_pts_per_ray). Set
+    # BEFORE the first render call so the jitted scan renderer traces it.
+    render_cap = 16
+    trainer.model.fg_model.get_obj_bound().set_optim_cfgs("eval_max_pts_per_ray", render_cap)
     imgs = trainer.render_image(sample, chunk_rays=n_rays)  # compile
     t0 = time.perf_counter()
     imgs = trainer.render_image(sample, chunk_rays=n_rays)
@@ -206,6 +211,62 @@ def main():
 
     ref_total_rays = 50000 * 4096
     proj_min_ref_workload = ref_total_rays / rays_per_sec / 60.0
+
+    # ----------------------------------------------------------------------
+    # Recipe-shaped variant (VERDICT r2 item 5): the projection above rests
+    # on the 96x96 toy's valid-point profile. Re-measure at the reference
+    # lego recipe shapes — 800x800 views, n_sample 1024, n_grid 128 volume
+    # (configs/expr/NeRF/lego/nerf_lego_nerf_ngp.yaml) — on the procedural
+    # scene: warm up occupancy at the recipe's 4096-ray batch, read the
+    # measured valid-points profile, let the dynamic-batch rule pick the
+    # steady bucket for the 2^18 budget, and time at that bucket.
+    recipe = {}
+    if not smoke:
+        cfgs_r = load_configs(os.path.join(root, "configs", "expr", "synthetic_ngp.yaml"))
+        update_configs_by_dotlist(cfgs_r, [
+            "--name", "bench_ngp_recipe",
+            "--progress.epoch", "200", "--progress.epoch_loss", "1000000",
+            "--progress.epoch_val", "-1", "--progress.epoch_save_checkpoint", "1000000",
+            "--progress.scan_steps", str(scan_steps),
+            "--n_rays", "4096",
+            "--dataset.train.n_imgs", "8",
+            "--dataset.train.wh", "[800,800]",
+            "--model.rays.n_sample", "1024",
+            "--model.obj_bound.volume.n_grid", "128",
+            "--model.obj_bound.epoch_optim_warmup", "32",
+            "--dataset.train.scheduler.dynamic_batch_size.update_epoch", "1000000",
+        ])
+        trainer_r = ArcNerfTrainer(cfgs_r)
+        ep = 0
+        for _ in range(4):  # warmup: occupancy warmup + two optimize passes
+            stats_r = trainer_r.train_steps(ep, scan_steps)
+            ep += scan_steps
+        valid_pts = float(stats_r["n_valid_pts"])
+        valid_per_ray = valid_pts / 4096.0
+        # reference dynamic_batch_size semantics: grow rays until the point
+        # budget fills (power-of-two buckets, capped like the r2 study)
+        bucket = 4096
+        while bucket * 2 * valid_per_ray <= budget_pts and bucket < 32768:
+            bucket *= 2
+        trainer_r.pipeline.n_rays = bucket
+        stats_r = trainer_r.train_steps(ep, scan_steps)  # compile+warm the bucket
+        ep += scan_steps
+        float(stats_r["loss"])
+        t0 = time.perf_counter()
+        n_meas = 2
+        for _ in range(n_meas):
+            stats_r = trainer_r.train_steps(ep, scan_steps)
+            ep += scan_steps
+        float(stats_r["loss"])  # hard sync
+        dt_r = time.perf_counter() - t0
+        recipe_rays_per_sec = n_meas * scan_steps * bucket / dt_r
+        recipe = {
+            "recipe_rays_per_sec": round(recipe_rays_per_sec, 1),
+            "recipe_bucket": bucket,
+            "recipe_valid_pts_per_ray": round(valid_per_ray, 2),
+            "recipe_step_ms": round(dt_r / (n_meas * scan_steps) * 1e3, 2),
+            "proj_min_ngp_50kx4096_recipe": round(ref_total_rays / recipe_rays_per_sec / 60.0, 1),
+        }
 
     baseline = 2.0e5  # reference ArcNerf NGP GPU throughput (see header)
     print(json.dumps({
@@ -226,7 +287,9 @@ def main():
         "dispatch_ms": round(dispatch_ms, 2),
         "render_{}px_ms".format(render_wh): round(render_s * 1e3, 1),
         "render_fps_{}px".format(render_wh): round(1.0 / render_s, 3),
+        "render_cap_pts": render_cap,
         "proj_min_ngp_50kx4096": round(proj_min_ref_workload, 1),
+        **recipe,
     }))
 
 

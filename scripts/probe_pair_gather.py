@@ -60,7 +60,7 @@ def main():
     def cur_form(tbl, bi):
         # emulate today's op: 8 single-entry lookups (e and e+1 separately)
         rows = tbl.reshape(L, T // epr, 128).astype(jnp.bfloat16)
-        acc = jnp.zeros((4 * B,), jnp.float32)
+        acc = jnp.zeros((bi.shape[1],), jnp.float32)
         for l in range(L):
             for e_off in range(2):
                 e = bi[l] + e_off
@@ -90,7 +90,7 @@ def main():
     print("  overlap rows per level:", rows_ov.shape[1], flush=True)
 
     def pair_form(rov, bi):
-        acc = jnp.zeros((4 * B,), jnp.float32)
+        acc = jnp.zeros((bi.shape[1],), jnp.float32)
         for l in range(L):
             e = bi[l]
             r = jnp.take(rov[l], e // CPR, axis=0)  # (4B, 128) one gather per PAIR

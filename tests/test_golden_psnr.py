@@ -35,6 +35,10 @@ FAMILIES = {
         "--model.geometry.encoder.n_levels", "8",
         "--model.obj_bound.volume.n_grid", "32",
         "--model.rays.n_sample", "64",
+        # pinned ray bucket: the dynamic ladder costs one XLA compile per
+        # bucket growth, which dominated the old ~2 h suite wall time
+        "--n_rays", "4096",
+        "--dataset.train.scheduler.dynamic_batch_size.update_epoch", "1000000",
     ], 22.0),
     "neus": ("synthetic_neus.yaml", [
         "--progress.epoch", "400", "--progress.epoch_val", "-1",

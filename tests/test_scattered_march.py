@@ -127,6 +127,25 @@ def test_compact_sel_any_mask_pattern():
     np.testing.assert_array_equal(np.asarray(sel_p)[:n_p], flat_p[:n_p])
 
 
+def test_eval_pts_per_ray_cap():
+    """obj_bound._cap_pts_per_ray keeps the first `cap` valid samples per
+    ray at inference only (the early-termination analogue)."""
+    from arcnerf_tpu.models.base_modules.obj_bound import _cap_pts_per_ray
+
+    rng = np.random.default_rng(1)
+    mask = jnp.asarray(rng.uniform(size=(8, 32)) < 0.5)
+    capped = _cap_pts_per_ray(mask, inference_only=True, cap=4)
+    assert bool(jnp.all(jnp.sum(capped, axis=1) <= 4))
+    # kept samples are the FIRST valid ones (front-to-back)
+    m, c = np.asarray(mask), np.asarray(capped)
+    for r in range(8):
+        first4 = np.nonzero(m[r])[0][:4]
+        np.testing.assert_array_equal(np.nonzero(c[r])[0], first4)
+    # training mode / no cap: untouched
+    assert _cap_pts_per_ray(mask, False, 4) is mask
+    assert _cap_pts_per_ray(mask, True, None) is mask
+
+
 def test_log_cumprod_transmittance_exact():
     """alpha_to_weights' exp-cumsum-log form matches the cumprod definition."""
     from arcnerf_tpu.render.ray_helper import alpha_to_weights
