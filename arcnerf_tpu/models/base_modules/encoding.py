@@ -129,6 +129,154 @@ def _hash_lookup_rowform_bwd(spec, entry_idx, g):
 _hash_lookup_rowform.defvjp(_hash_lookup_rowform_fwd, _hash_lookup_rowform_bwd)
 
 
+def _pair_layout(spec):
+    """Static helpers for the overlapped-row pair layout.
+
+    spec carries (shape, gather_dtype, res, dense_ok, pair_hash). A level is
+    PAIRED when its two z-corners are adjacent table entries (dense layout
+    has z minor-most; pair_hash makes hashed levels z-additive): one row
+    gather then serves both corners of each (x, y) combination — 4 gathers
+    per point per level instead of 8. Rows overlap by one entry (row r =
+    entries [CPR*r, CPR*r + CPR], CPR = 128/F - 1) so a pair (e, e+1) never
+    crosses a row. Measured: gather cost is per-INDEX (~4-6 ns/row,
+    probe_pair_gather.py), so paired levels cut the encoder's dominant term
+    roughly in half."""
+    (L, T, F), _, res, dense_ok, pair_hash = spec
+    epr = 128 // F
+    cpr = epr - 1
+    paired = [bool(d) or bool(pair_hash) for d in dense_ok]
+    n_entries = []
+    for l in range(L):
+        if dense_ok[l]:
+            n_entries.append(int(res[l] + 1) ** 3)
+        else:
+            n_entries.append(T)
+    return epr, cpr, paired, n_entries
+
+
+def _pack_overlap_rows(table_l, n_entry, cpr, F, gather_dtype):
+    """(T, F) level table -> (R, 128) overlapped rows covering the first
+    ``n_entry`` entries (R = ceil(n_entry/cpr)); built with slices/reshape
+    only (no gather). Entry e lives in row e//cpr at lane (e%cpr)*F, and
+    e+1 (< n_entry, or the wrap entry 0) is always in the same row."""
+    T = table_l.shape[0]
+    R = -(-n_entry // cpr)
+    need = cpr * R + 1
+    if need <= T:
+        can = table_l[:need]
+    else:  # wrap pad (hashed levels: e+1 may wrap to entry 0)
+        can = jnp.concatenate([table_l, table_l[: need - T]], axis=0)
+    main = can[:-1].reshape(R, cpr, F)
+    extra = can[cpr::cpr][:, None, :]  # entries cpr*(r+1), r = 0..R-1
+    rows = jnp.concatenate([main, extra], axis=1).reshape(R, (cpr + 1) * F)
+    return rows.astype(gather_dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hash_lookup_paired(spec, table, pair_idx, single_idx):
+    """Mixed paired/single hash-table lookup.
+
+    table (L, T, F) f32 storage. pair_idx (n_paired, 4, B): base entries
+    (the z0 corner of each (x, y) pair) for PAIRED levels, in level order.
+    single_idx (n_single, 8, B): per-corner entries for the remaining
+    levels. -> feats (F, L, 8, B) f32, corners in _CORNER_OFFSETS order
+    (z-outer: corners 0-3 are z0, 4-7 are z1 of the same (x, y))."""
+    (L, T, F), gather_dtype, res, dense_ok, pair_hash = spec
+    epr, cpr, paired, n_entries = _pair_layout(spec)
+    B = pair_idx.shape[2] if pair_idx.size else single_idx.shape[2]
+    out_levels = []
+    pi = si = 0
+    for l in range(L):
+        if paired[l]:
+            rows = _pack_overlap_rows(table[l], n_entries[l], cpr, F, gather_dtype)
+            e = pair_idx[pi].reshape(-1)  # (4B,)
+            pi += 1
+            r = jnp.take(rows, e // cpr, axis=0).astype(jnp.float32)  # (4B, 128)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+            lane0 = (e % cpr) * F
+            feats = []
+            for z in range(2):  # z0 then z1 corners
+                for f in range(F):
+                    v = jnp.sum(jnp.where(lanes == (lane0 + z * F + f)[:, None], r, 0.0), axis=1)
+                    feats.append(v.reshape(4, B))
+            # feats index order: z*F + f -> assemble (F, 8, B)
+            lvl = jnp.stack(
+                [jnp.concatenate([feats[f], feats[F + f]], axis=0) for f in range(F)]
+            )  # (F, 8, B)
+            out_levels.append(lvl)
+        else:
+            rows = table[l].reshape(T // epr, 128).astype(gather_dtype)
+            e = single_idx[si].reshape(-1)  # (8B,)
+            si += 1
+            r = jnp.take(rows, e // epr, axis=0).astype(jnp.float32)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+            lane0 = (e % epr) * F
+            lvl = jnp.stack([
+                jnp.sum(jnp.where(lanes == (lane0 + f)[:, None], r, 0.0), axis=1).reshape(8, B)
+                for f in range(F)
+            ])
+            out_levels.append(lvl)
+    return jnp.stack(out_levels, axis=1)  # (F, L, 8, B)
+
+
+def _hash_lookup_paired_fwd(spec, table, pair_idx, single_idx):
+    return _hash_lookup_paired(spec, table, pair_idx, single_idx), (pair_idx, single_idx)
+
+
+def _hash_lookup_paired_bwd(spec, resid, g):
+    """g (F, L, 8, B) -> table grad (L, T, F); paired levels scatter-add
+    one-hot PAIR rows into the overlapped layout then fold the overlap
+    column back onto its canonical entry (slice arithmetic, no gather)."""
+    pair_idx, single_idx = resid
+    (L, T, F), _, res, dense_ok, pair_hash = spec
+    epr, cpr, paired, n_entries = _pair_layout(spec)
+    grads = []
+    pi = si = 0
+    for l in range(L):
+        if paired[l]:
+            e = pair_idx[pi].reshape(-1)  # (4B,)
+            gl = g[:, l]  # (F, 8, B)
+            pi += 1
+            K = e.shape[0]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+            lane0 = (e % cpr) * F
+            upd = jnp.zeros((K, 128), jnp.float32)
+            for z in range(2):
+                for f in range(F):
+                    gv = gl[f, 4 * z: 4 * z + 4].reshape(-1)  # (4B,)
+                    upd = upd + jnp.where(lanes == (lane0 + z * F + f)[:, None], gv[:, None], 0.0)
+            R = -(-n_entries[l] // cpr)
+            g_rows = jnp.zeros((R, 128), jnp.float32).at[e // cpr].add(upd)
+            g4 = g_rows.reshape(R, cpr + 1, F)
+            main = g4[:, :cpr].reshape(R * cpr, F)
+            extra = g4[:, cpr]  # (R, F) -> canonical entries cpr*(r+1)
+            need = cpr * R + 1
+            flat = jnp.zeros((max(need, T), F), jnp.float32)
+            flat = flat.at[: R * cpr].add(main)
+            flat = flat.at[cpr: cpr * R + 1: cpr].add(extra)
+            if need > T:  # wrap pad folds back onto the head
+                flat = flat.at[: need - T].add(flat[T:need]).at[T:].set(0.0)
+            grads.append(flat[:T])
+        else:
+            e = single_idx[si].reshape(-1)  # (8B,)
+            gl = g[:, l].reshape(F, -1)  # (F, 8B)
+            si += 1
+            K = e.shape[0]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+            lane0 = (e % epr) * F
+            upd = jnp.zeros((K, 128), jnp.float32)
+            for f in range(F):
+                upd = upd + jnp.where(lanes == (lane0 + f)[:, None], gl[f][:, None], 0.0)
+            tbl = jnp.zeros((T // epr, 128), jnp.float32).at[e // epr].add(upd)
+            grads.append(tbl.reshape(T, F))
+    zero_p = np.zeros(pair_idx.shape, dtype=jax.dtypes.float0)
+    zero_s = np.zeros(single_idx.shape, dtype=jax.dtypes.float0)
+    return jnp.stack(grads), zero_p, zero_s
+
+
+_hash_lookup_paired.defvjp(_hash_lookup_paired_fwd, _hash_lookup_paired_bwd)
+
+
 @ENCODER_REGISTRY.register()
 class FreqEmbedder(nn.Module):
     """sin/cos positional encoding: x -> [x?, sin(f_i x), cos(f_i x)...]."""
@@ -357,6 +505,13 @@ class HashGridEmbedder(nn.Module):
     include_input: bool = True
     dtype: Any = jnp.float32
     init_std: float = 1e-4
+    # pair-coalesced gathers (TPU): dense levels have z-adjacent entries by
+    # construction, so both z-corners of an (x, y) pair come from ONE row
+    # gather — exact, no hash change. pair_hash extends this to hashed
+    # levels by switching their hash to z-additive ((x*p0 ^ y*p1) + z mod
+    # T) — different collision structure, quality-gate before enabling.
+    pair_dense: bool = True
+    pair_hash: bool = False
 
     @property
     def out_dim(self):
@@ -403,59 +558,113 @@ class HashGridEmbedder(nn.Module):
         dense_ok = (res.astype(np.int64) + 1) ** 3 <= T  # (L,) static bools
         mn, mx = self._aabb()
         B = xyz.shape[0]
+        lane_ok = 128 % F == 0 and T % (128 // F) == 0
+        on_tpu = jax.default_backend() == "tpu" and lane_ok
+        # which levels use the pair-coalesced gather (TPU only)
+        paired = [
+            on_tpu and ((bool(d) and self.pair_dense) or ((not bool(d)) and self.pair_hash))
+            for d in dense_ok
+        ]
 
         # TPU layout note: keep the huge point dim B minor-most everywhere.
         # A (B, L, 8, F) gather pads its tiny trailing dims to the (8, 128)
         # tile — a 16-64x HBM blowup. With B last, every tensor tiles clean.
         norm = (xyz - jnp.asarray(mn)) / jnp.asarray(mx - mn)  # (B, 3) in [0,1]
-        res_j = jnp.asarray(res, dtype=xyz.dtype)  # (L,)
-        pos = norm.T[None, :, :] * res_j[:, None, None]  # (L, 3, B)
-        idx0 = jnp.floor(pos).astype(jnp.int32)
-        idx0 = jnp.clip(idx0, 0, jnp.asarray(res, dtype=jnp.int32)[:, None, None] - 1)
-        frac = pos - idx0.astype(pos.dtype)  # (L, 3, B)
+        nx, ny, nz = norm[:, 0], norm[:, 1], norm[:, 2]
 
-        off = jnp.asarray(_CORNER_OFFSETS)  # (8, 3)
-        corners = idx0[:, None, :, :] + off[None, :, :, None]  # (L, 8, 3, B)
+        # per-level index math ((B,)-shaped intermediates; per-axis hash
+        # terms are computed once and combined per corner — 6 uint32
+        # multiplies per level instead of 24)
+        pair_bases, single_entries, weights = [], [], []
+        for l in range(L):
+            r = int(res[l])
+            px, py, pz = nx * r, ny * r, nz * r
+            x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, r - 1)
+            y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, r - 1)
+            z0 = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, r - 1)
+            fx = px - x0.astype(px.dtype)
+            fy = py - y0.astype(py.dtype)
+            fz = pz - z0.astype(pz.dtype)
+            # trilinear weights, corners in _CORNER_OFFSETS (z-outer) order
+            wx = (1.0 - fx, fx)
+            wy = (1.0 - fy, fy)
+            wz = (1.0 - fz, fz)
+            weights.append(jnp.stack([
+                wx[cx] * wy[cy] * wz[cz]
+                for (cx, cy, cz) in _CORNER_OFFSETS.tolist()
+            ]))  # (8, B)
 
-        # dense flat index on the (r+1)^3 lattice
-        n1 = jnp.asarray(res + 1, dtype=jnp.int32)[:, None, None]  # (L, 1, 1)
-        dense_idx = (corners[:, :, 0] * n1 + corners[:, :, 1]) * n1 + corners[:, :, 2]  # (L, 8, B)
-        u = corners.astype(jnp.uint32)
-        hash_idx = (
-            (u[:, :, 0] * jnp.uint32(_HASH_PRIMES[0]))
-            ^ (u[:, :, 1] * jnp.uint32(_HASH_PRIMES[1]))
-            ^ (u[:, :, 2] * jnp.uint32(_HASH_PRIMES[2]))
-        ) & jnp.uint32(T - 1)
-        use_dense = jnp.asarray(dense_ok)[:, None, None]
-        entry_idx = jnp.where(use_dense, dense_idx % T, hash_idx.astype(jnp.int32))  # (L, 8, B)
+            if dense_ok[l]:
+                n1 = r + 1
+                ax = (x0 * (n1 * n1), (x0 + 1) * (n1 * n1))
+                ay = (y0 * n1, (y0 + 1) * n1)
+                if paired[l]:
+                    pair_bases.append(jnp.stack(
+                        [ax[cx] + ay[cy] + z0 for cx in (0, 1) for cy in (0, 1)]))  # (4, B)
+                else:
+                    single_entries.append(jnp.stack([
+                        ax[cx] + ay[cy] + z0 + cz
+                        for (cx, cy, cz) in _CORNER_OFFSETS.tolist()
+                    ]))
+            elif self.pair_hash:
+                # z-additive hash: (x*p0 ^ y*p1) + z mod T — z-pairs adjacent
+                ux, uy = x0.astype(jnp.uint32), y0.astype(jnp.uint32)
+                hx = (ux * jnp.uint32(_HASH_PRIMES[0]), (ux + 1) * jnp.uint32(_HASH_PRIMES[0]))
+                hy = (uy * jnp.uint32(_HASH_PRIMES[1]), (uy + 1) * jnp.uint32(_HASH_PRIMES[1]))
+                uz = z0.astype(jnp.uint32)
+                base = [(((hx[cx] ^ hy[cy]) + uz) & jnp.uint32(T - 1)).astype(jnp.int32)
+                        for cx in (0, 1) for cy in (0, 1)]
+                if paired[l]:
+                    pair_bases.append(jnp.stack(base))  # (4, B)
+                else:
+                    single_entries.append(jnp.stack(
+                        [((b + cz) % T) for (_, _, cz), b in
+                         zip(_CORNER_OFFSETS.tolist(), base * 2)]))
+            else:
+                ux, uy, uz = x0.astype(jnp.uint32), y0.astype(jnp.uint32), z0.astype(jnp.uint32)
+                hx = (ux * jnp.uint32(_HASH_PRIMES[0]), (ux + 1) * jnp.uint32(_HASH_PRIMES[0]))
+                hy = (uy * jnp.uint32(_HASH_PRIMES[1]), (uy + 1) * jnp.uint32(_HASH_PRIMES[1]))
+                hz = (uz * jnp.uint32(_HASH_PRIMES[2]), (uz + 1) * jnp.uint32(_HASH_PRIMES[2]))
+                single_entries.append(jnp.stack([
+                    ((hx[cx] ^ hy[cy] ^ hz[cz]) & jnp.uint32(T - 1)).astype(jnp.int32)
+                    for (cx, cy, cz) in _CORNER_OFFSETS.tolist()
+                ]))
 
-        # table lookup. On TPU: ROW-FORM gather/scatter (full 128-lane rows
-        # move at ~500 GB/s while element forms serialize — fwd 205->157 ms,
-        # bwd 2682->305 ms at the 33.5M-lookup NGP workload, see
-        # _hash_lookup_rowform). On CPU the element gather is the fast path
-        # (row-form measured 400x slower there), and it also covers F that
-        # doesn't pack into 128 lanes. Either way the gather runs at the
-        # table's storage dtype (bf16 halves the random-read bytes) and
-        # yields f32; the backward scatter accumulates in f32.
-        if jax.default_backend() == "tpu" and 128 % F == 0 and T % (128 // F) == 0:
-            feats = _hash_lookup_rowform(
-                ((L, T, F), jnp.dtype(gather_dtype).name, None),
-                table, entry_idx.reshape(L, 8 * B),
-            ).reshape(F, L, 8, B)
+        w = jnp.stack(weights)  # (L, 8, B)
+
+        if on_tpu:
+            n_pair, n_single = sum(paired), L - sum(paired)
+            pair_idx = (jnp.stack(pair_bases) if n_pair else
+                        jnp.zeros((0, 4, B), jnp.int32))
+            single_idx = (jnp.stack(single_entries) if n_single else
+                          jnp.zeros((0, 8, B), jnp.int32))
+            spec = ((L, T, F), jnp.dtype(gather_dtype).name,
+                    tuple(int(v) for v in res), tuple(bool(v) for v in dense_ok),
+                    bool(self.pair_hash))
+            feats = _hash_lookup_paired(spec, table, pair_idx, single_idx)  # (F, L, 8, B)
         else:
+            # CPU/fallback: element-granularity gather (row forms serialize
+            # there); identical entry math, corners expanded explicitly
+            entries = []
+            pi = si = 0
+            for l in range(L):
+                if paired[l]:
+                    base = pair_bases[pi]
+                    pi += 1
+                    e0 = base
+                    e1 = (base + 1) % T if not dense_ok[l] else base + 1
+                    entries.append(jnp.concatenate([e0, e1], axis=0))
+                else:
+                    entries.append(single_entries[si])
+                    si += 1
+            entry_idx = jnp.stack(entries)  # (L, 8, B)
             level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None, None]
-            flat_idx = (entry_idx + level_off).reshape(-1)  # (L*8*B,)
+            flat_idx = (entry_idx + level_off).reshape(-1)
             table_t = table.reshape(L * T, F).T  # (F, L*T)
             feats = _gather_cols_f32(
                 (table_t.shape, jnp.dtype(gather_dtype).name), table_t, flat_idx
             ).reshape(F, L, 8, B)
 
-        # trilinear weights in the same corner order
-        offf = off.astype(pos.dtype)  # (8, 3)
-        w = jnp.prod(
-            offf[None, :, :, None] * frac[:, None, :, :] + (1.0 - offf[None, :, :, None]) * (1.0 - frac[:, None, :, :]),
-            axis=2,
-        )  # (L, 8, B)
         embed = jnp.sum(feats * w[None], axis=2)  # (F, L, B)
         embed = embed.transpose(2, 1, 0).reshape(B, L * F).astype(xyz.dtype)
 

@@ -87,6 +87,7 @@ def main():
         return out
 
     def sampling(m, feed2, bs):
+        bs = bs.get("fg", bs)  # trainer state nests fg/bkg bound states
         fg = m.fg_model
         near, far, mask_rays = fg.get_near_far_from_rays(feed2, bs)
         near = jax.lax.stop_gradient(near)
@@ -169,6 +170,64 @@ def main():
     vD = jax.jit(jax.value_and_grad(stageD))
     tD = timed(vD, params, feed, key)
     print("D +marching v&g:         {:7.1f} ms".format(tD * 1e3), flush=True)
+
+    # ------------------------------------------------- B decomposition extras
+    def stageB0(p, feed, k):
+        feed2 = flat(feed)
+        def fn(m, feed2, bs, k):
+            fg = m.fg_model
+            zvals, mask_pts, _ = sampling(m, feed2, bs)
+            n_rays, n_pts = zvals.shape
+            sel, sel_valid = fg._compact_sel(mask_pts, budget)
+            ray_id = sel // n_pts
+            z_sel = jnp.take(zvals.reshape(-1), sel)
+            o_sel = jnp.take(feed2["rays_o"], ray_id, axis=0)
+            d_sel = jnp.take(feed2["rays_d"], ray_id, axis=0)
+            pts_sel = o_sel + z_sel[:, None] * d_sel
+            return jnp.sum(pts_sel) + jnp.sum(d_sel)
+        return model.apply({"params": p}, feed2, bound_state, k, method=fn, rngs={"sampling": k})
+
+    tB0 = timed(jax.jit(stageB0), params, feed, key)
+    print("B0 sel+gather fwd:       {:7.1f} ms".format(tB0 * 1e3), flush=True)
+
+    # encoder alone at the budget, same config as the model's geo encoder
+    from arcnerf_tpu.models.base_modules.encoding import HashGridEmbedder
+    from arcnerf_tpu.utils.cfgs import obj_to_dict
+
+    enc_cfg = {k: v for k, v in obj_to_dict(cfgs.model.geometry.encoder).items() if k != "type"}
+    if "xyz_len" in enc_cfg and isinstance(enc_cfg["xyz_len"], list):
+        enc_cfg["xyz_len"] = tuple(enc_cfg["xyz_len"])
+    enc = HashGridEmbedder(**enc_cfg)
+    pts_fix = jax.random.uniform(jax.random.PRNGKey(3), (budget, 3), minval=-0.95, maxval=0.95)
+    enc_vars = enc.init(jax.random.PRNGKey(4), pts_fix[:128])
+    enc_fwd = jax.jit(lambda v, x: jnp.sum(enc.apply(v, x)))
+    tEncF = timed(enc_fwd, enc_vars, pts_fix)
+    print("Benc encoder fwd:        {:7.1f} ms".format(tEncF * 1e3), flush=True)
+    enc_vg = jax.jit(jax.grad(lambda v, x: jnp.sum(enc.apply(v, x)) * 1e-3))
+    tEncG = timed(enc_vg, enc_vars, pts_fix)
+    print("Benc encoder v&g:        {:7.1f} ms".format(tEncG * 1e3), flush=True)
+
+    # ------------------------------------------------------- scan vs single
+    stride = 8
+    feeds = []
+    for t in range(stride):
+        b = trainer.pipeline.get_train_batch(t)
+        fi, _ = get_model_feed_in(b)
+        feeds.append(fi)
+    feed_stack = {k: np.stack([np.asarray(f[k]) for f in feeds]) for k in feeds[0]}
+    from arcnerf_tpu.parallel.mesh import shard_stacked_batch
+
+    feed_stack = shard_stacked_batch(feed_stack, trainer.mesh)
+    keys = jax.random.split(key, stride)
+    scan_fn = jax.jit(trainer._scan_steps_impl)
+    state2 = jax.tree_util.tree_map(lambda x: x, trainer.state)
+    out_state, _ = scan_fn(state2, feed_stack, keys, 0)  # compile
+    np.asarray(jax.device_get(out_state["step"]))
+    t0 = time.perf_counter()
+    out_state, _ = scan_fn(out_state, feed_stack, keys, 100)
+    np.asarray(jax.device_get(out_state["step"]))
+    tScan = (time.perf_counter() - t0) / stride
+    print("scan stride per-step:    {:7.1f} ms".format(tScan * 1e3), flush=True)
 
     # ---------------------------------------------------------------- stage E
     full = jax.jit(trainer._train_step_impl)

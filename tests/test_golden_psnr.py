@@ -43,11 +43,11 @@ FAMILIES = {
     "neus": ("synthetic_neus.yaml", [
         "--progress.epoch", "400", "--progress.epoch_val", "-1",
         "--dataset.val.n_imgs", "4", "--progress.max_samples_val", "4",
-    ], 16.0),
-    "mipnerf": ("synthetic_mipnerf.yaml", [], 15.5),
-    "nerfpp": ("synthetic_nerfpp.yaml", [], 15.5),
+    ], 20.0),
+    "mipnerf": ("synthetic_mipnerf.yaml", [], 18.0),
+    "nerfpp": ("synthetic_nerfpp.yaml", [], 16.4),
     "multivol": ("synthetic_multivol.yaml", [], 16.5),
-    "hdrnerf": ("synthetic_hdrnerf.yaml", [], 15.5),
+    "hdrnerf": ("synthetic_hdrnerf.yaml", [], 17.2),
     "volsdf": ("synthetic_volsdf.yaml", [], 17.5),
 }
 
