@@ -39,7 +39,7 @@ FAMILIES = {
         # bucket growth, which dominated the old ~2 h suite wall time
         "--n_rays", "4096",
         "--dataset.train.scheduler.dynamic_batch_size.update_epoch", "1000000",
-    ], 22.0),
+    ], 23.5),
     "neus": ("synthetic_neus.yaml", [
         "--progress.epoch", "400", "--progress.epoch_val", "-1",
         "--dataset.val.n_imgs", "4", "--progress.max_samples_val", "4",
