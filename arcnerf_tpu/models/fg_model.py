@@ -82,9 +82,11 @@ class FgModel(Base3dModel):
                 "depth_far": get_value_from_cfgs_field(obj_bound, "depth_far", 10.0),
                 "normal": get_value_from_cfgs_field(obj_bound, "normal", [0.0, 1.0, 0.0]),
                 "max_allowance": get_value_from_cfgs_field(obj_bound, "log_max_allowance", -1),
+                "eval_max_pts_per_ray": get_value_from_cfgs_field(obj_bound, "eval_max_pts_per_ray", None),
             }
             if params["max_allowance"] > 0:
                 params["max_allowance"] = 1 << params["max_allowance"]
+        params.setdefault("eval_max_pts_per_ray", None)
         return params if key is None else params[key]
 
     def get_n_coarse_sample(self):
@@ -238,6 +240,14 @@ class FgModel(Base3dModel):
         total = n_rays * n_pts
 
         budget = self.get_render_cfgs("max_allowance")
+        if inference_only and isinstance(budget, int) and budget > 0:
+            # the per-ray sample cap (_cap_pts_per_ray) bounds the valid
+            # count at n_rays * cap — shrink the STATIC compaction budget to
+            # match so capped eval renders do proportionally less encoder/MLP
+            # work (the cap alone changes no shapes and saves nothing)
+            cap = self.get_render_cfgs("eval_max_pts_per_ray")
+            if cap:
+                budget = min(budget, -(-(n_rays * int(cap)) // 1024) * 1024)
         use_compact = (
             mask_pts is not None and isinstance(budget, int) and 0 < budget < total
         )

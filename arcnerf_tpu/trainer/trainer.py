@@ -174,6 +174,24 @@ class ArcNerfTrainer:
 
         self._last_save_time = time.time()
 
+    def set_render_cap(self, cap):
+        """Set the inference per-ray sample cap (obj_bound.eval_max_pts_per_ray)
+        and re-jit the render paths so the new cap actually re-traces.
+
+        The cap is read at TRACE time (a Python int baked into the jitted
+        graph), so mutating the config alone keeps serving the old compiled
+        executable from jit's cache — the viewer's adaptive-quality ladder
+        and eval_render_cap.py both go through here. cap=None disables
+        capping (full sample count)."""
+        obj_bound = get_value_from_cfgs_field(self.cfgs.model, "obj_bound", None)
+        if obj_bound is None:
+            return
+        setattr(obj_bound, "eval_max_pts_per_ray", cap)
+        # the bound cache keys on the obj_bound cfg repr, so the next
+        # get_obj_bound() builds a bound carrying the new cap
+        self._render_chunk = jax.jit(self._render_chunk_impl)
+        self._render_scan = jax.jit(self._render_scan_impl)
+
     # ----------------------------------------------------------------- data
     def prepare_data(self):
         data = {}

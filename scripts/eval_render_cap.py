@@ -44,11 +44,10 @@ def main():
     gt = np.asarray(sample["img"])
     wh = sample["img"].shape
     bkg = trainer.eval_bkg_color("val")
-    bound = trainer.model.fg_model.get_obj_bound()
 
     print("checkpoint:", ckpt, "| view:", wh, flush=True)
     for cap in caps:
-        bound.set_optim_cfgs("eval_max_pts_per_ray", cap)
+        trainer.set_render_cap(cap)
         imgs = trainer.render_image(sample, bkg_color=bkg)  # compile at this cap
         t0 = time.perf_counter()
         imgs = trainer.render_image(sample, bkg_color=bkg)
@@ -58,7 +57,7 @@ def main():
         print("cap {:3d}: psnr {:6.2f}  render {:7.1f} ms  ({:5.2f} fps)".format(
             cap, p, dt * 1e3, 1.0 / dt), flush=True)
     # uncapped reference (None disables the cap; -1 would cap to zero)
-    bound.set_optim_cfgs("eval_max_pts_per_ray", None)
+    trainer.set_render_cap(None)
     imgs = trainer.render_image(sample, bkg_color=bkg)
     t0 = time.perf_counter()
     imgs = trainer.render_image(sample, bkg_color=bkg)

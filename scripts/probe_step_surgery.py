@@ -190,6 +190,53 @@ def main():
     tB0 = timed(jax.jit(stageB0), params, feed, key)
     print("B0 sel+gather fwd:       {:7.1f} ms".format(tB0 * 1e3), flush=True)
 
+    # ------------------------------------- B sub-splits, IN CONTEXT (r3b):
+    # B1 = B0 + hashgrid encoder, B2 = B0 + full geo net (encoder + MLP).
+    # B - B2 is then the radiance half (SH + radiance MLP + d_sel plumbing).
+    from arcnerf_tpu.models.base_modules.encoding import HashGridEmbedder as _HGE
+    from arcnerf_tpu.utils.cfgs import obj_to_dict as _o2d
+
+    _ecfg = {k: v for k, v in _o2d(cfgs.model.geometry.encoder).items() if k != "type"}
+    if "xyz_len" in _ecfg and isinstance(_ecfg["xyz_len"], list):
+        _ecfg["xyz_len"] = tuple(_ecfg["xyz_len"])
+    enc_ctx = _HGE(**_ecfg)
+
+    def to_pts(m, feed2, bs, k):
+        fg = m.fg_model
+        zvals, mask_pts, _ = sampling(m, feed2, bs)
+        n_rays, n_pts = zvals.shape
+        sel, sel_valid = fg._compact_sel(mask_pts, budget)
+        ray_id = sel // n_pts
+        z_sel = jnp.take(zvals.reshape(-1), sel)
+        o_sel = jnp.take(feed2["rays_o"], ray_id, axis=0)
+        d_sel = jnp.take(feed2["rays_d"], ray_id, axis=0)
+        return o_sel + z_sel[:, None] * d_sel, d_sel
+
+    def stageB1(p, feed, k):
+        feed2 = flat(feed)
+        pts_sel, _ = model.apply(
+            {"params": p}, feed2, bound_state, k, method=to_pts, rngs={"sampling": k})
+        emb = enc_ctx.apply({"params": p["fg_model"]["coarse_geo_net"]["HashGridEmbedder_0"]}, pts_sel)
+        return jnp.sum(emb) * 1e-3
+
+    tB1f = timed(jax.jit(stageB1), params, feed, key)
+    print("B1 +encoder fwd:         {:7.1f} ms".format(tB1f * 1e3), flush=True)
+    tB1 = timed(jax.jit(jax.value_and_grad(stageB1)), params, feed, key)
+    print("B1 +encoder v&g:         {:7.1f} ms".format(tB1 * 1e3), flush=True)
+
+    def stageB2(p, feed, k):
+        feed2 = flat(feed)
+        def fn(m, feed2, bs, k):
+            fg = m.fg_model
+            pts_sel, _ = to_pts(m, feed2, bs, k)
+            geo, _rad = fg.get_coarse_net()
+            sigma, feat = geo(pts_sel)
+            return jnp.sum(sigma) * 1e-3 + (jnp.sum(feat) * 1e-3 if feat is not None else 0.0)
+        return model.apply({"params": p}, feed2, bound_state, k, method=fn, rngs={"sampling": k})
+
+    tB2 = timed(jax.jit(jax.value_and_grad(stageB2)), params, feed, key)
+    print("B2 +geo-net v&g:         {:7.1f} ms".format(tB2 * 1e3), flush=True)
+
     # encoder alone at the budget, same config as the model's geo encoder
     from arcnerf_tpu.models.base_modules.encoding import HashGridEmbedder
     from arcnerf_tpu.utils.cfgs import obj_to_dict

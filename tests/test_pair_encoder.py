@@ -116,10 +116,13 @@ def test_paired_wrap_hashed_level():
 
 
 def test_embedder_cpu_golden_unchanged():
-    """The per-level CPU index math must reproduce the original vectorized
-    formulation exactly (same xor hash, same dense layout)."""
+    """With pair_hash=False the per-level CPU index math must reproduce the
+    original vectorized formulation exactly (same xor hash, same dense
+    layout). pair_hash=True (the r3 default, quality-gated on TPU) swaps
+    hashed levels to the z-additive hash and is covered by
+    test_pair_hash_default_changes_hashed_levels below."""
     enc = HashGridEmbedder(n_levels=4, n_feat_per_entry=2, hashmap_size=10, base_res=4,
-                           max_res=64, side=2.0, include_input=False)
+                           max_res=64, side=2.0, include_input=False, pair_hash=False)
     xyz = jnp.asarray(np.random.default_rng(5).uniform(-0.9, 0.9, size=(32, 3)).astype(np.float32))
     v = enc.init(jax.random.PRNGKey(0), xyz)
     out = enc.apply(v, xyz)
@@ -156,3 +159,29 @@ def test_embedder_cpu_golden_unchanged():
             acc += table[l, e.astype(np.int64)] * w[:, None]
         ref[:, l * F:(l + 1) * F] = acc
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-6)
+
+
+def test_pair_hash_default_changes_hashed_levels():
+    """The default encoder (pair_hash=True) must differ from the classic
+    xor hash ONLY on hashed levels: dense-level features (and the trilinear
+    weights) are hash-free, so a dense-only encoder must match exactly."""
+    kw = dict(n_levels=4, n_feat_per_entry=2, hashmap_size=10, base_res=4,
+              max_res=64, side=2.0, include_input=False)
+    xyz = jnp.asarray(np.random.default_rng(5).uniform(-0.9, 0.9, size=(32, 3)).astype(np.float32))
+
+    enc_zadd = HashGridEmbedder(**kw)
+    enc_xor = HashGridEmbedder(**kw, pair_hash=False)
+    v = enc_zadd.init(jax.random.PRNGKey(0), xyz)
+    out_zadd = enc_zadd.apply(v, xyz)
+    out_xor = enc_xor.apply(v, xyz)
+    # levels 2/3 are hashed at T=1024 (res 16, 40, 64) -> must differ
+    assert not np.allclose(np.asarray(out_zadd[:, 4:]), np.asarray(out_xor[:, 4:]))
+
+    # dense-only config (T covers (res+1)^3): identical regardless of flag
+    kw_dense = dict(n_levels=2, n_feat_per_entry=2, hashmap_size=12, base_res=4,
+                    max_res=8, side=2.0, include_input=False)
+    enc_a = HashGridEmbedder(**kw_dense)
+    enc_b = HashGridEmbedder(**kw_dense, pair_hash=False)
+    vd = enc_a.init(jax.random.PRNGKey(1), xyz)
+    np.testing.assert_allclose(np.asarray(enc_a.apply(vd, xyz)),
+                               np.asarray(enc_b.apply(vd, xyz)), atol=0, rtol=0)

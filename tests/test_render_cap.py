@@ -1,0 +1,82 @@
+"""Inference render cap: set_render_cap must re-trace (a cached jit
+executable must not keep serving the old cap) and must shrink the static
+compaction budget so capped renders do proportionally less work.
+
+The cap is the TPU-shaped analogue of the reference CUDA march's
+transmittance early termination (reference arcnerf/render/ray_helper.py
+trans_shift cutoff semantics): keep only the first cap valid samples per
+ray, front to back.
+"""
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arcnerf_tpu.trainer import ArcNerfTrainer  # noqa: E402
+from arcnerf_tpu.utils.cfgs import load_configs, update_configs_by_dotlist  # noqa: E402
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "expr", "synthetic_ngp.yaml")
+
+
+def _tiny_trainer(d):
+    cfgs = load_configs(CFG)
+    update_configs_by_dotlist(cfgs, [
+        "--name", "render_cap_test",
+        "--dir.expr_dir", os.path.join(d, "expr"),
+        "--progress.epoch", "24",
+        "--progress.epoch_loss", "1000",
+        "--progress.epoch_val", "-1",
+        "--progress.epoch_save_checkpoint", "1000",
+        "--dataset.train.n_imgs", "3",
+        "--dataset.train.wh", "[32,32]",
+        "--dataset.val.n_imgs", "1",
+        "--dataset.val.wh", "[32,32]",
+        "--model.rays.n_sample", "32",
+        "--model.obj_bound.volume.n_grid", "32",
+        "--model.obj_bound.epoch_optim", "8",
+        "--model.obj_bound.epoch_optim_warmup", "16",
+        "--model.obj_bound.log_max_allowance", "13",
+        "--model.geometry.encoder.hashmap_size", "12",
+        "--model.geometry.encoder.n_levels", "4",
+        "--model.geometry.encoder.max_res", "64",
+        "--n_rays", "256",
+    ])
+    return ArcNerfTrainer(cfgs)
+
+
+def test_render_cap_retrace_and_budget_shrink():
+    with tempfile.TemporaryDirectory() as d:
+        trainer = _tiny_trainer(d)
+        trainer.train()  # a few steps so occupancy has structure
+        sample = trainer.data["val"][0]
+        bkg = trainer.eval_bkg_color("val")
+
+        trainer.set_render_cap(None)
+        full = trainer.render_image(sample, bkg_color=bkg)["rgb"]
+        assert np.isfinite(full).all()
+
+        # the cap flows to the model cfg used at trace time
+        trainer.set_render_cap(1)
+        assert trainer.model.fg_model.get_render_cfgs("eval_max_pts_per_ray") == 1
+        capped = trainer.render_image(sample, bkg_color=bkg)["rgb"]
+        assert np.isfinite(capped).all()
+        # with a single valid sample per ray the render must differ from the
+        # full-sample render — if jit had served the stale executable the
+        # arrays would be identical
+        assert not np.allclose(capped, full), "cap=1 render identical to uncapped: stale jit cache"
+
+        # a generous cap covers every valid sample -> bit-identical to full
+        trainer.set_render_cap(32)
+        wide = trainer.render_image(sample, bkg_color=bkg)["rgb"]
+        assert np.allclose(wide, full, atol=1e-5), "cap >= n_sample must reproduce the uncapped render"
+
+        # budget shrink: the capped compaction budget is ceil(rays*cap/1024)*1024
+        fg = trainer.model.fg_model
+        n_rays = 1024  # 32x32 view in one chunk
+        budget = fg.get_render_cfgs("max_allowance")
+        trainer.set_render_cap(2)
+        cap_budget = -(-(n_rays * 2) // 1024) * 1024
+        assert cap_budget < budget, "test setup: shrunk budget must be smaller"
