@@ -49,11 +49,24 @@ def build_encoder(cfgs):
     return cls(**_filter_kwargs(cls, kwargs))
 
 
-def build_geo_model(cfgs):
-    """Geometry net factory (reference base_modules/__init__.py:28)."""
+def build_geo_model(cfgs, needs_input_grad=False):
+    """Geometry net factory (reference base_modules/__init__.py:28).
+
+    ``needs_input_grad``: set by SDF models (neus/volsdf) whose normals are
+    ``jax.grad`` of this net wrt the input points — it disables the
+    HashGridEmbedder's fused-interpolation lookup (fuse_interp=False),
+    whose custom VJP deliberately drops the xyz gradient path through the
+    trilinear weights (encoding._hash_lookup_fused gradient contract)."""
     kwargs = to_plain_dict(cfgs)
     net_type = kwargs.pop("type", "GeoNet")
     cls = GEO_MODEL_REGISTRY.get(net_type)
+    if needs_input_grad:
+        enc = kwargs.get("encoder")
+        if isinstance(enc, dict):
+            if isinstance(enc.get("pts"), dict):
+                enc["pts"]["fuse_interp"] = False
+            else:
+                enc["fuse_interp"] = False
     return cls(**_filter_kwargs(cls, kwargs))
 
 

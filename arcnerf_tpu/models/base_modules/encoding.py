@@ -277,6 +277,107 @@ def _hash_lookup_paired_bwd(spec, resid, g):
 _hash_lookup_paired.defvjp(_hash_lookup_paired_fwd, _hash_lookup_paired_bwd)
 
 
+def _fused_row_offsets(spec):
+    """Per-level row offsets into the concatenated overlapped-row table."""
+    (L, T, F), _, res, dense_ok, pair_hash = spec
+    _, cpr, _, n_entries = _pair_layout(spec)
+    sizes = [-(-n_entries[l] // cpr) for l in range(L)]
+    offs = np.cumsum([0] + sizes)
+    return offs, cpr
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hash_lookup_fused(spec, table, pair_idx, w):
+    """All-levels-paired lookup with the trilinear interpolation FUSED in:
+    ONE row gather across the concatenated per-level overlapped-row tables,
+    weights folded into the lane extraction, output (F, L, B) — the
+    interpolated feature itself, not per-corner features.
+
+    vs _hash_lookup_paired + weighted-sum: the (F, L, 8, B) per-corner
+    tensor never exists (neither does its cotangent in the backward — the
+    incoming g is 8x smaller), the 16 per-level gathers merge into one
+    pipelined gather, and the backward is one row scatter-add with w*g
+    folded into the one-hot rows.
+
+    pair_idx (L, 4, B): base entries (z0 corner of each (x, y) pair) per
+    level. w (L, 8, B): trilinear corner weights in _CORNER_OFFSETS z-outer
+    order (corners 0-3 = z0, 4-7 = z1 of the same (x, y)).
+
+    GRADIENT CONTRACT: grads flow to ``table`` only; the cotangent wrt
+    ``w`` (and hence wrt xyz through the interpolation weights) is ZERO.
+    NGP-style training never differentiates wrt input points (zvals are
+    stop-gradient), but SDF models autodiff normals through the encoder —
+    they must build their geo net with needs_input_grad=True, which sets
+    HashGridEmbedder.fuse_interp=False (build_geo_model)."""
+    (L, T, F), gather_dtype, _, _, _ = spec
+    offs, cpr = _fused_row_offsets(spec)
+    _, _, _, n_entries = _pair_layout(spec)
+    B = pair_idx.shape[2]
+    rows_all = jnp.concatenate(
+        [_pack_overlap_rows(table[l], n_entries[l], cpr, F, gather_dtype) for l in range(L)], axis=0
+    )
+    e = pair_idx.reshape(-1)  # (L*4B,) level-major, corner-major
+    ridx = (pair_idx // cpr + jnp.asarray(offs[:-1], jnp.int32)[:, None, None]).reshape(-1)
+    r = jnp.take(rows_all, ridx, axis=0).astype(jnp.float32)  # (N, 128)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+    lane0 = (e % cpr) * F
+    wz0 = w[:, :4].reshape(-1)  # (L*4B,) matches e's flattening
+    wz1 = w[:, 4:].reshape(-1)
+    outs = []
+    for f in range(F):
+        m = jnp.where(lanes == (lane0 + f)[:, None], wz0[:, None], 0.0) \
+            + jnp.where(lanes == (lane0 + F + f)[:, None], wz1[:, None], 0.0)
+        s = jnp.sum(r * m, axis=1)  # (N,)
+        outs.append(s.reshape(L, 4, B).sum(axis=1))  # (L, B)
+    return jnp.stack(outs)  # (F, L, B)
+
+
+def _hash_lookup_fused_fwd(spec, table, pair_idx, w):
+    return _hash_lookup_fused(spec, table, pair_idx, w), (pair_idx, w)
+
+
+def _hash_lookup_fused_bwd(spec, resid, g):
+    """g (F, L, B) -> table grad (L, T, F): one row scatter-add of
+    w*g-valued one-hot rows into the concatenated overlapped layout, then
+    per-level overlap fold (slice arithmetic, no gather)."""
+    pair_idx, w = resid
+    (L, T, F), _, _, _, _ = spec
+    offs, cpr = _fused_row_offsets(spec)
+    _, _, _, n_entries = _pair_layout(spec)
+    B = pair_idx.shape[2]
+    e = pair_idx.reshape(-1)
+    ridx = (pair_idx // cpr + jnp.asarray(offs[:-1], jnp.int32)[:, None, None]).reshape(-1)
+    N = e.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+    lane0 = (e % cpr) * F
+    wz0 = w[:, :4].reshape(-1)
+    wz1 = w[:, 4:].reshape(-1)
+    upd = jnp.zeros((N, 128), jnp.float32)
+    for f in range(F):
+        gf = jnp.broadcast_to(g[f][:, None, :], (L, 4, B)).reshape(-1)  # (N,)
+        upd = upd + jnp.where(lanes == (lane0 + f)[:, None], (wz0 * gf)[:, None], 0.0)
+        upd = upd + jnp.where(lanes == (lane0 + F + f)[:, None], (wz1 * gf)[:, None], 0.0)
+    g_rows = jnp.zeros((int(offs[-1]), 128), jnp.float32).at[ridx].add(upd)
+    grads = []
+    for l in range(L):
+        R = int(offs[l + 1] - offs[l])
+        g4 = g_rows[int(offs[l]):int(offs[l + 1])].reshape(R, cpr + 1, F)
+        main = g4[:, :cpr].reshape(R * cpr, F)
+        extra = g4[:, cpr]  # canonical entries cpr*(r+1)
+        need = cpr * R + 1
+        flat = jnp.zeros((max(need, T), F), jnp.float32)
+        flat = flat.at[: R * cpr].add(main)
+        flat = flat.at[cpr: cpr * R + 1: cpr].add(extra)
+        if need > T:  # wrap pad folds back onto the head
+            flat = flat.at[: need - T].add(flat[T:need]).at[T:].set(0.0)
+        grads.append(flat[:T])
+    zero_i = np.zeros(pair_idx.shape, dtype=jax.dtypes.float0)
+    return jnp.stack(grads), zero_i, jnp.zeros_like(w)
+
+
+_hash_lookup_fused.defvjp(_hash_lookup_fused_fwd, _hash_lookup_fused_bwd)
+
+
 @ENCODER_REGISTRY.register()
 class FreqEmbedder(nn.Module):
     """sin/cos positional encoding: x -> [x?, sin(f_i x), cos(f_i x)...]."""
@@ -516,6 +617,13 @@ class HashGridEmbedder(nn.Module):
     # recover the exact instant-ngp hash.
     pair_dense: bool = True
     pair_hash: bool = True
+    # fuse the trilinear interpolation into the lookup op (TPU, all levels
+    # paired): one merged gather across levels, weights folded into the
+    # lane extraction, (F, L, B) output. Gradients then flow to the table
+    # ONLY — xyz gets no gradient through the interpolation weights. SDF
+    # models (autodiff normals) build their geo nets with
+    # needs_input_grad=True which turns this off (build_geo_model).
+    fuse_interp: bool = True
 
     @property
     def out_dim(self):
@@ -635,6 +743,18 @@ class HashGridEmbedder(nn.Module):
                 ]))
 
         w = jnp.stack(weights)  # (L, 8, B)
+
+        if on_tpu and self.fuse_interp and all(paired):
+            pair_idx = jnp.stack(pair_bases)  # (L, 4, B)
+            spec = ((L, T, F), jnp.dtype(gather_dtype).name,
+                    tuple(int(v) for v in res), tuple(bool(v) for v in dense_ok),
+                    bool(self.pair_hash))
+            embed = _hash_lookup_fused(
+                spec, table, pair_idx, jax.lax.stop_gradient(w))  # (F, L, B)
+            embed = embed.transpose(2, 1, 0).reshape(B, L * F).astype(xyz.dtype)
+            if self.include_input:
+                return jnp.concatenate([xyz, embed], axis=-1)
+            return embed
 
         if on_tpu:
             n_pair, n_single = sum(paired), L - sum(paired)

@@ -50,7 +50,8 @@ def sdf_to_alpha(mid_sdf, zvals, mid_slope, s, clip=True):
 class Neus(SdfModel):
 
     def setup(self):
-        self.geo_net = build_geo_model(self.cfgs.model.geometry)
+        # SDF normals are jax.grad wrt input pts -> exact (unfused) encoder interp
+        self.geo_net = build_geo_model(self.cfgs.model.geometry, needs_input_grad=True)
         self.radiance_net = build_radiance_model(self.cfgs.model.radiance)
         init_var = get_value_from_cfgs_field(self.cfgs.model.params, "init_var", 0.05)
         speed = self.speed_factor

@@ -37,7 +37,8 @@ def sdf_to_sigma(sdf, beta, beta_min=1e-4):
 class VolSDF(SdfModel):
 
     def setup(self):
-        self.geo_net = build_geo_model(self.cfgs.model.geometry)
+        # SDF normals are jax.grad wrt input pts -> exact (unfused) encoder interp
+        self.geo_net = build_geo_model(self.cfgs.model.geometry, needs_input_grad=True)
         self.radiance_net = build_radiance_model(self.cfgs.model.radiance)
         init_beta = get_value_from_cfgs_field(self.cfgs.model.params, "init_beta", 0.1)
         speed = self.speed_factor

@@ -115,6 +115,25 @@ def shard_batch(batch, mesh, axis_name="data"):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_batch_in_jit(batch, mesh, axis_name="data"):
+    """In-trace analogue of :func:`shard_batch`: annotate an on-device
+    sampled ray batch with the data-parallel layout via
+    ``with_sharding_constraint`` (device_put is host-side; inside a jitted
+    sampler the layout must be a constraint so GSPMD splits the gather's
+    output across the mesh instead of replicating it)."""
+    size = mesh.devices.size
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            if x.shape[0] >= size and x.shape[0] % size == 0:
+                return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis_name)))
+            if x.ndim >= 2 and x.shape[1] >= size and x.shape[1] % size == 0:
+                return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(None, axis_name)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def pad_ray_batch(batch, multiple, axis=1):
     """Pad every (.., n_rays, ..) leaf along ``axis`` up to the next multiple
     of ``multiple`` by repeating the last ray, so shard_batch always shards

@@ -52,6 +52,7 @@ class Pipeline:
 
         self.data = None  # dict of (n_total, ...) numpy arrays
         self.precrop_data = None
+        self.precrop_idx = None  # indices of the precrop subset into data
         self._perm = None
         self._cursor = 0
         self._measured = []
@@ -77,6 +78,7 @@ class Pipeline:
                 [grid + i * h * w for i in range(len(samples))]
             )
             self.precrop_data = {k: v[per_img] for k, v in data.items()}
+            self.precrop_idx = per_img
         return self.data
 
     @property

@@ -33,8 +33,12 @@ class TestTruncExp:
         np.testing.assert_allclose(float(g_big), np.exp(15.0), rtol=1e-5)
 
 
-def naive_hashgrid_encode(table, xyz, resolutions, dense_ok, T, mn, mx):
-    """Straight-line per-point python reference of the hashgrid encode."""
+def naive_hashgrid_encode(table, xyz, resolutions, dense_ok, T, mn, mx, pair_hash=False):
+    """Straight-line per-point python reference of the hashgrid encode.
+
+    ``pair_hash`` selects the z-additive hash ((x*p0 ^ y*p1) + z mod T)
+    that HashGridEmbedder uses by default on hashed levels (encoding.py
+    pair_hash docstring); False gives the classic instant-ngp xor hash."""
     L, _, F = table.shape
     out = np.zeros((xyz.shape[0], L * F), dtype=np.float32)
     norm = (xyz - mn) / (mx - mn)
@@ -49,6 +53,10 @@ def naive_hashgrid_encode(table, xyz, resolutions, dense_ok, T, mn, mx):
                 c = i0 + corner
                 if dense_ok[l]:
                     idx = int((c[0] * (res + 1) + c[1]) * (res + 1) + c[2]) % T
+                elif pair_hash:
+                    h = (np.uint32(c[0]) * np.uint32(_HASH_PRIMES[0])) ^ \
+                        (np.uint32(c[1]) * np.uint32(_HASH_PRIMES[1]))
+                    idx = int((h + np.uint32(c[2])) & np.uint32(T - 1))
                 else:
                     h = (np.uint32(c[0]) * np.uint32(_HASH_PRIMES[0])) ^ \
                         (np.uint32(c[1]) * np.uint32(_HASH_PRIMES[1])) ^ \
@@ -62,9 +70,10 @@ def naive_hashgrid_encode(table, xyz, resolutions, dense_ok, T, mn, mx):
 
 class TestHashGrid:
 
-    def test_matches_naive_reference(self):
+    def _check_naive(self, pair_hash):
         enc = HashGridEmbedder(
-            n_levels=4, hashmap_size=8, base_res=4, max_res=32, side=2.0, include_input=False
+            n_levels=4, hashmap_size=8, base_res=4, max_res=32, side=2.0,
+            include_input=False, pair_hash=pair_hash,
         )
         rng = np.random.default_rng(0)
         xyz = rng.uniform(-0.9, 0.9, size=(32, 3)).astype(np.float32)
@@ -75,8 +84,15 @@ class TestHashGrid:
         res = enc._resolutions()
         dense_ok = (res.astype(np.int64) + 1) ** 3 <= enc.table_size
         mn, mx = enc._aabb()
-        ref = naive_hashgrid_encode(table, xyz, res, dense_ok, enc.table_size, mn, mx)
+        ref = naive_hashgrid_encode(
+            table, xyz, res, dense_ok, enc.table_size, mn, mx, pair_hash=pair_hash)
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_matches_naive_reference(self):
+        self._check_naive(pair_hash=False)  # classic instant-ngp xor hash
+
+    def test_matches_naive_reference_pair_hash(self):
+        self._check_naive(pair_hash=True)  # default z-additive hash
 
     def test_gradients_reach_table(self):
         enc = HashGridEmbedder(

@@ -185,3 +185,129 @@ def test_pair_hash_default_changes_hashed_levels():
     vd = enc_a.init(jax.random.PRNGKey(1), xyz)
     np.testing.assert_allclose(np.asarray(enc_a.apply(vd, xyz)),
                                np.asarray(enc_b.apply(vd, xyz)), atol=0, rtol=0)
+
+
+# ------------------------------------------------ fused-interp lookup (r3b)
+
+def _all_paired_case(seed=0, L=4, T=1 << 10, F=2, B=64):
+    """All levels paired (dense z-adjacent or z-additive hash)."""
+    rng = np.random.default_rng(seed)
+    table = jnp.asarray(rng.normal(size=(L, T, F)).astype(np.float32) * 0.1)
+    res = (7, 9, 40, 80)
+    dense_ok = tuple((np.asarray(res) + 1) ** 3 <= T)
+    pair_bases = []
+    for l in range(L):
+        n_entry = (res[l] + 1) ** 3 if dense_ok[l] else T
+        pair_bases.append(rng.integers(0, n_entry - 1, size=(4, B)))
+    pair_idx = jnp.asarray(np.stack(pair_bases), dtype=jnp.int32)
+    w = jnp.asarray(rng.random(size=(L, 8, B)).astype(np.float32))
+    spec = ((L, T, F), "float32", res, dense_ok, True)
+    return spec, table, pair_idx, w
+
+
+def _reference_fused(spec, table, pair_idx, w):
+    (L, T, F), _, res, dense_ok, _ = spec
+    B = pair_idx.shape[2]
+    tbl = np.asarray(table)
+    wn = np.asarray(w)
+    out = np.zeros((F, L, B), np.float32)
+    for l in range(L):
+        n_entry = (res[l] + 1) ** 3 if dense_ok[l] else T
+        base = np.asarray(pair_idx[l])  # (4, B)
+        for c in range(8):
+            e = base[c % 4] + (1 if c >= 4 else 0)
+            e = np.where(e >= n_entry, e - n_entry, e)  # hashed wrap
+            out[:, l] += tbl[l, e].T * wn[l, c][None]
+    return out
+
+
+def test_fused_lookup_values():
+    from arcnerf_tpu.models.base_modules.encoding import _hash_lookup_fused
+
+    spec, table, pair_idx, w = _all_paired_case()
+    out = _hash_lookup_fused(spec, table, pair_idx, w)
+    ref = _reference_fused(spec, table, pair_idx, w)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_lookup_matches_unfused_composition():
+    """fused(table, idx, w) == sum_c paired_feats * w — same math, one op."""
+    from arcnerf_tpu.models.base_modules.encoding import _hash_lookup_fused
+
+    spec, table, pair_idx, w = _all_paired_case(seed=11)
+    (L, T, F), _, res, dense_ok, _ = spec
+    B = pair_idx.shape[2]
+    single = jnp.zeros((0, 8, B), jnp.int32)
+    feats = _hash_lookup_paired(spec, table, pair_idx, single)  # (F, L, 8, B)
+    ref = jnp.sum(feats * w[None], axis=2)
+    out = _hash_lookup_fused(spec, table, pair_idx, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_fused_lookup_table_grad_exact():
+    from arcnerf_tpu.models.base_modules.encoding import _hash_lookup_fused
+
+    spec, table, pair_idx, w = _all_paired_case(seed=3)
+    (L, T, F), _, res, dense_ok, _ = spec
+    B = pair_idx.shape[2]
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.normal(size=(F, L, B)).astype(np.float32))
+
+    grad = jax.grad(lambda t: jnp.sum(_hash_lookup_fused(spec, t, pair_idx, w) * g))(table)
+
+    ref = np.zeros((L, T, F), np.float32)
+    gn, wn = np.asarray(g), np.asarray(w)
+    for l in range(L):
+        n_entry = (res[l] + 1) ** 3 if dense_ok[l] else T
+        base = np.asarray(pair_idx[l])
+        for c in range(8):
+            e = base[c % 4] + (1 if c >= 4 else 0)
+            e = np.where(e >= n_entry, e - n_entry, e)
+            for f in range(F):
+                np.add.at(ref[l, :, f], e, gn[f, l] * wn[l, c])
+    np.testing.assert_allclose(np.asarray(grad), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_lookup_w_grad_is_zero():
+    """The fused op's gradient contract: zero cotangent wrt w."""
+    from arcnerf_tpu.models.base_modules.encoding import _hash_lookup_fused
+
+    spec, table, pair_idx, w = _all_paired_case(seed=5)
+    gw = jax.grad(lambda ww: jnp.sum(_hash_lookup_fused(spec, table, pair_idx, ww) ** 2))(w)
+    assert float(jnp.abs(gw).max()) == 0.0
+
+
+def test_embedder_fused_matches_unfused(monkeypatch):
+    """Full embedder on the (forced) TPU path: fuse_interp=True output must
+    equal fuse_interp=False output exactly (same entries, same weights)."""
+    import arcnerf_tpu.models.base_modules.encoding as enc_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kw = dict(n_levels=4, n_feat_per_entry=2, hashmap_size=10, base_res=4,
+              max_res=64, side=2.0, include_input=True)
+    xyz = jnp.asarray(np.random.default_rng(5).uniform(-0.9, 0.9, size=(64, 3)).astype(np.float32))
+    enc_f = enc_mod.HashGridEmbedder(**kw)
+    enc_u = enc_mod.HashGridEmbedder(**kw, fuse_interp=False)
+    v = enc_f.init(jax.random.PRNGKey(0), xyz)
+    out_f = enc_f.apply(v, xyz)
+    out_u = enc_u.apply(v, xyz)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u), rtol=1e-6, atol=1e-6)
+
+    # table grads agree too
+    gf = jax.grad(lambda p: jnp.sum(enc_f.apply(p, xyz) ** 2))(v)["params"]["embeddings"]
+    gu = jax.grad(lambda p: jnp.sum(enc_u.apply(p, xyz) ** 2))(v)["params"]["embeddings"]
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gu), rtol=1e-5, atol=1e-6)
+
+
+def test_sdf_geo_net_disables_fusion():
+    """build_geo_model(needs_input_grad=True) must set fuse_interp=False on
+    a hashgrid encoder so autodiff normals see the interpolation weights."""
+    from arcnerf_tpu.models.base_modules import build_geo_model
+
+    cfg = {"type": "GeoNet", "W": 16, "D": 1, "W_feat": 0, "skips": [],
+           "encoder": {"type": "HashGridEmbedder", "n_levels": 2, "hashmap_size": 10,
+                       "base_res": 4, "max_res": 8, "side": 2.0}}
+    net = build_geo_model(cfg, needs_input_grad=True)
+    assert net.encoder["fuse_interp"] is False
+    net2 = build_geo_model(cfg)
+    assert "fuse_interp" not in net2.encoder  # field default (True) applies
