@@ -286,6 +286,34 @@ def _fused_row_offsets(spec):
     return offs, cpr
 
 
+# The fused lookup merges ALL levels into one flat (N = L*4*B,) index
+# stream; its gather output is (N, 128). Above this row cap the stream is
+# processed in lax.map/scan chunks so no single buffer exceeds ~1 GB bf16
+# (the unchunked form AOT-OOMs at inference scales — e.g. the recipe's
+# 128^3 occupancy eval puts N at 2^27 -> a 32 GB gather output).
+_FUSED_CHUNK_ROWS = 1 << 22
+
+
+def _fused_chunk_split(n):
+    """(n_chunks, chunk, pad) splitting ``n`` rows at _FUSED_CHUNK_ROWS."""
+    n_chunks = -(-n // _FUSED_CHUNK_ROWS)
+    ch = -(-n // n_chunks)
+    return n_chunks, ch, n_chunks * ch - n
+
+
+def _fused_gather_extract(rows_all, ridx, lane0, wz0, wz1, F):
+    """One chunk of the fused lookup: row gather + weight-folded lane
+    extraction. -> (F, n) per-feature interpolated partial sums."""
+    r = jnp.take(rows_all, ridx, axis=0).astype(jnp.float32)  # (n, 128)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+    outs = []
+    for f in range(F):
+        m = jnp.where(lanes == (lane0 + f)[:, None], wz0[:, None], 0.0) \
+            + jnp.where(lanes == (lane0 + F + f)[:, None], wz1[:, None], 0.0)
+        outs.append(jnp.sum(r * m, axis=1))  # (n,)
+    return jnp.stack(outs)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _hash_lookup_fused(spec, table, pair_idx, w):
     """All-levels-paired lookup with the trilinear interpolation FUSED in:
@@ -318,18 +346,22 @@ def _hash_lookup_fused(spec, table, pair_idx, w):
     )
     e = pair_idx.reshape(-1)  # (L*4B,) level-major, corner-major
     ridx = (pair_idx // cpr + jnp.asarray(offs[:-1], jnp.int32)[:, None, None]).reshape(-1)
-    r = jnp.take(rows_all, ridx, axis=0).astype(jnp.float32)  # (N, 128)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
     lane0 = (e % cpr) * F
     wz0 = w[:, :4].reshape(-1)  # (L*4B,) matches e's flattening
     wz1 = w[:, 4:].reshape(-1)
-    outs = []
-    for f in range(F):
-        m = jnp.where(lanes == (lane0 + f)[:, None], wz0[:, None], 0.0) \
-            + jnp.where(lanes == (lane0 + F + f)[:, None], wz1[:, None], 0.0)
-        s = jnp.sum(r * m, axis=1)  # (N,)
-        outs.append(s.reshape(L, 4, B).sum(axis=1))  # (L, B)
-    return jnp.stack(outs)  # (F, L, B)
+    N = e.shape[0]
+    if N <= _FUSED_CHUNK_ROWS:
+        s = _fused_gather_extract(rows_all, ridx, lane0, wz0, wz1, F)  # (F, N)
+    else:
+        n_chunks, ch, pad = _fused_chunk_split(N)
+
+        def padc(x):  # pad with index 0 / weight 0 rows: they contribute 0
+            return jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+
+        xs = tuple(padc(x).reshape(n_chunks, ch) for x in (ridx, lane0, wz0, wz1))
+        s = jax.lax.map(lambda c: _fused_gather_extract(rows_all, *c, F), xs)
+        s = s.transpose(1, 0, 2).reshape(F, n_chunks * ch)[:, :N]
+    return s.reshape(F, L, 4, B).sum(axis=2)  # (F, L, B)
 
 
 def _hash_lookup_fused_fwd(spec, table, pair_idx, w):
@@ -348,16 +380,36 @@ def _hash_lookup_fused_bwd(spec, resid, g):
     e = pair_idx.reshape(-1)
     ridx = (pair_idx // cpr + jnp.asarray(offs[:-1], jnp.int32)[:, None, None]).reshape(-1)
     N = e.shape[0]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
     lane0 = (e % cpr) * F
     wz0 = w[:, :4].reshape(-1)
     wz1 = w[:, 4:].reshape(-1)
-    upd = jnp.zeros((N, 128), jnp.float32)
-    for f in range(F):
-        gf = jnp.broadcast_to(g[f][:, None, :], (L, 4, B)).reshape(-1)  # (N,)
-        upd = upd + jnp.where(lanes == (lane0 + f)[:, None], (wz0 * gf)[:, None], 0.0)
-        upd = upd + jnp.where(lanes == (lane0 + F + f)[:, None], (wz1 * gf)[:, None], 0.0)
-    g_rows = jnp.zeros((int(offs[-1]), 128), jnp.float32).at[ridx].add(upd)
+    # per-feature incoming cotangent, flattened to match e's (L, 4, B) order
+    gf = jnp.stack([jnp.broadcast_to(g[f][:, None, :], (L, 4, B)).reshape(-1) for f in range(F)])
+
+    def scatter_rows(g_rows, ridx_c, lane0_c, wz0_c, wz1_c, gf_c):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (ridx_c.shape[0], 128), 1)
+        upd = jnp.zeros((ridx_c.shape[0], 128), jnp.float32)
+        for f in range(F):
+            upd = upd + jnp.where(lanes == (lane0_c + f)[:, None], (wz0_c * gf_c[f])[:, None], 0.0)
+            upd = upd + jnp.where(lanes == (lane0_c + F + f)[:, None], (wz1_c * gf_c[f])[:, None], 0.0)
+        return g_rows.at[ridx_c].add(upd)
+
+    g_rows0 = jnp.zeros((int(offs[-1]), 128), jnp.float32)
+    if N <= _FUSED_CHUNK_ROWS:
+        g_rows = scatter_rows(g_rows0, ridx, lane0, wz0, wz1, gf)
+    else:
+        n_chunks, ch, pad = _fused_chunk_split(N)
+
+        def padc(x):  # pad rows carry weight 0 -> scatter adds nothing
+            if not pad:
+                return x
+            z = jnp.zeros(x.shape[:-1] + (pad,), x.dtype)
+            return jnp.concatenate([x, z], axis=-1)
+
+        xs = tuple(padc(x).reshape(n_chunks, ch) for x in (ridx, lane0, wz0, wz1))
+        gf_c = padc(gf).reshape(F, n_chunks, ch).transpose(1, 0, 2)
+        g_rows, _ = jax.lax.scan(
+            lambda gr, c: (scatter_rows(gr, *c), None), g_rows0, xs + (gf_c,))
     grads = []
     for l in range(L):
         R = int(offs[l + 1] - offs[l])

@@ -311,3 +311,29 @@ def test_sdf_geo_net_disables_fusion():
     assert net.encoder["fuse_interp"] is False
     net2 = build_geo_model(cfg)
     assert "fuse_interp" not in net2.encoder  # field default (True) applies
+
+
+def test_fused_lookup_chunked_matches_single_shot(monkeypatch):
+    """Above _FUSED_CHUNK_ROWS the fused op processes the flat index stream
+    in lax.map/scan chunks (the unchunked gather output is (L*4B, 128) —
+    32 GB at the recipe's 128^3 occupancy eval). Values and table grads
+    must match the single-shot form exactly, including the padded tail."""
+    import arcnerf_tpu.models.base_modules.encoding as enc_mod
+
+    spec, table, pair_idx, w = _all_paired_case(seed=21, B=48)  # N = 4*4*48 = 768
+    rng = np.random.default_rng(13)
+    g = jnp.asarray(rng.normal(size=(2, 4, 48)).astype(np.float32))
+
+    out1 = enc_mod._hash_lookup_fused(spec, table, pair_idx, w)
+    gr1 = jax.grad(lambda t: jnp.sum(enc_mod._hash_lookup_fused(spec, t, pair_idx, w) * g))(table)
+
+    monkeypatch.setattr(enc_mod, "_FUSED_CHUNK_ROWS", 100)  # 768 -> 8 chunks of 96
+    out2 = enc_mod._hash_lookup_fused(spec, table, pair_idx, w)
+    gr2 = jax.grad(lambda t: jnp.sum(enc_mod._hash_lookup_fused(spec, t, pair_idx, w) * g))(table)
+
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr2), np.asarray(gr1), rtol=1e-6, atol=1e-6)
+
+    monkeypatch.setattr(enc_mod, "_FUSED_CHUNK_ROWS", 96)  # exact division, no pad
+    out3 = enc_mod._hash_lookup_fused(spec, table, pair_idx, w)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out1), rtol=1e-6, atol=1e-6)
