@@ -341,27 +341,31 @@ def _hash_lookup_fused(spec, table, pair_idx, w):
     offs, cpr = _fused_row_offsets(spec)
     _, _, _, n_entries = _pair_layout(spec)
     B = pair_idx.shape[2]
-    rows_all = jnp.concatenate(
-        [_pack_overlap_rows(table[l], n_entries[l], cpr, F, gather_dtype) for l in range(L)], axis=0
-    )
-    e = pair_idx.reshape(-1)  # (L*4B,) level-major, corner-major
-    ridx = (pair_idx // cpr + jnp.asarray(offs[:-1], jnp.int32)[:, None, None]).reshape(-1)
-    lane0 = (e % cpr) * F
-    wz0 = w[:, :4].reshape(-1)  # (L*4B,) matches e's flattening
-    wz1 = w[:, 4:].reshape(-1)
-    N = e.shape[0]
-    if N <= _FUSED_CHUNK_ROWS:
-        s = _fused_gather_extract(rows_all, ridx, lane0, wz0, wz1, F)  # (F, N)
-    else:
-        n_chunks, ch, pad = _fused_chunk_split(N)
+    Nl = 4 * B
+    # per-level gathers (not one merged gather over concatenated tables):
+    # measured 94.1 vs 121.2 ms at the bench shapes — the per-level
+    # transients schedule/free better (scripts/probe_fused_bwd.py --fwd)
+    outs = []
+    for l in range(L):
+        rows = _pack_overlap_rows(table[l], n_entries[l], cpr, F, gather_dtype)
+        el = pair_idx[l].reshape(-1)  # (4B,) corner-major
+        rl = el // cpr
+        lane0 = (el % cpr) * F
+        wz0 = w[l, :4].reshape(-1)
+        wz1 = w[l, 4:].reshape(-1)
+        if Nl <= _FUSED_CHUNK_ROWS:
+            s = _fused_gather_extract(rows, rl, lane0, wz0, wz1, F)  # (F, 4B)
+        else:
+            n_chunks, ch, pad = _fused_chunk_split(Nl)
 
-        def padc(x):  # pad with index 0 / weight 0 rows: they contribute 0
-            return jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+            def padc(x):  # pad with index 0 / weight 0 rows: they contribute 0
+                return jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
 
-        xs = tuple(padc(x).reshape(n_chunks, ch) for x in (ridx, lane0, wz0, wz1))
-        s = jax.lax.map(lambda c: _fused_gather_extract(rows_all, *c, F), xs)
-        s = s.transpose(1, 0, 2).reshape(F, n_chunks * ch)[:, :N]
-    return s.reshape(F, L, 4, B).sum(axis=2)  # (F, L, B)
+            xs = tuple(padc(x).reshape(n_chunks, ch) for x in (rl, lane0, wz0, wz1))
+            s = jax.lax.map(lambda c: _fused_gather_extract(rows, *c, F), xs)
+            s = s.transpose(1, 0, 2).reshape(F, n_chunks * ch)[:, :Nl]
+        outs.append(s.reshape(F, 4, B).sum(axis=1))  # (F, B)
+    return jnp.stack(outs, axis=1)  # (F, L, B)
 
 
 def _hash_lookup_fused_fwd(spec, table, pair_idx, w):
@@ -369,51 +373,58 @@ def _hash_lookup_fused_fwd(spec, table, pair_idx, w):
 
 
 def _hash_lookup_fused_bwd(spec, resid, g):
-    """g (F, L, B) -> table grad (L, T, F): one row scatter-add of
-    w*g-valued one-hot rows into the concatenated overlapped layout, then
-    per-level overlap fold (slice arithmetic, no gather)."""
+    """g (F, L, B) -> table grad (L, T, F): PER-LEVEL row scatter-adds of
+    w*g-valued one-hot rows into the overlapped layout, then per-level
+    overlap fold (slice arithmetic, no gather).
+
+    Per-level (not one merged scatter) is a measured choice: at the bench
+    shapes (N = 16.7M) the 16 per-level (4B, 128) scatters run 2x faster
+    than one (N, 128) scatter into the concatenated rows — the merged
+    form's giant update tensor serializes behind its own materialization,
+    while the per-level transients free between levels
+    (scripts/probe_fused_bwd.py: merged 334.7 ms, per-level 166.4 ms,
+    narrow (N,4) rows 1382.8 ms, sort+segment_sum 1736.5 ms)."""
     pair_idx, w = resid
     (L, T, F), _, _, _, _ = spec
     offs, cpr = _fused_row_offsets(spec)
     _, _, _, n_entries = _pair_layout(spec)
     B = pair_idx.shape[2]
-    e = pair_idx.reshape(-1)
-    ridx = (pair_idx // cpr + jnp.asarray(offs[:-1], jnp.int32)[:, None, None]).reshape(-1)
-    N = e.shape[0]
-    lane0 = (e % cpr) * F
-    wz0 = w[:, :4].reshape(-1)
-    wz1 = w[:, 4:].reshape(-1)
-    # per-feature incoming cotangent, flattened to match e's (L, 4, B) order
-    gf = jnp.stack([jnp.broadcast_to(g[f][:, None, :], (L, 4, B)).reshape(-1) for f in range(F)])
+    Nl = 4 * B
 
-    def scatter_rows(g_rows, ridx_c, lane0_c, wz0_c, wz1_c, gf_c):
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (ridx_c.shape[0], 128), 1)
-        upd = jnp.zeros((ridx_c.shape[0], 128), jnp.float32)
+    def scatter_rows(g_rows, rl_c, lane0_c, wz0_c, wz1_c, gf_c):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (rl_c.shape[0], 128), 1)
+        upd = jnp.zeros((rl_c.shape[0], 128), jnp.float32)
         for f in range(F):
             upd = upd + jnp.where(lanes == (lane0_c + f)[:, None], (wz0_c * gf_c[f])[:, None], 0.0)
             upd = upd + jnp.where(lanes == (lane0_c + F + f)[:, None], (wz1_c * gf_c[f])[:, None], 0.0)
-        return g_rows.at[ridx_c].add(upd)
+        return g_rows.at[rl_c].add(upd)
 
-    g_rows0 = jnp.zeros((int(offs[-1]), 128), jnp.float32)
-    if N <= _FUSED_CHUNK_ROWS:
-        g_rows = scatter_rows(g_rows0, ridx, lane0, wz0, wz1, gf)
-    else:
-        n_chunks, ch, pad = _fused_chunk_split(N)
-
-        def padc(x):  # pad rows carry weight 0 -> scatter adds nothing
-            if not pad:
-                return x
-            z = jnp.zeros(x.shape[:-1] + (pad,), x.dtype)
-            return jnp.concatenate([x, z], axis=-1)
-
-        xs = tuple(padc(x).reshape(n_chunks, ch) for x in (ridx, lane0, wz0, wz1))
-        gf_c = padc(gf).reshape(F, n_chunks, ch).transpose(1, 0, 2)
-        g_rows, _ = jax.lax.scan(
-            lambda gr, c: (scatter_rows(gr, *c), None), g_rows0, xs + (gf_c,))
     grads = []
     for l in range(L):
         R = int(offs[l + 1] - offs[l])
-        g4 = g_rows[int(offs[l]):int(offs[l + 1])].reshape(R, cpr + 1, F)
+        el = pair_idx[l].reshape(-1)  # (4B,)
+        rl = el // cpr
+        lane0 = (el % cpr) * F
+        wz0 = w[l, :4].reshape(-1)
+        wz1 = w[l, 4:].reshape(-1)
+        gf = jnp.stack([jnp.broadcast_to(g[f, l][None], (4, B)).reshape(-1) for f in range(F)])
+        g_rows0 = jnp.zeros((R, 128), jnp.float32)
+        if Nl <= _FUSED_CHUNK_ROWS:
+            g_rows = scatter_rows(g_rows0, rl, lane0, wz0, wz1, gf)
+        else:
+            n_chunks, ch, pad = _fused_chunk_split(Nl)
+
+            def padc(x):  # pad rows carry weight 0 -> scatter adds nothing
+                if not pad:
+                    return x
+                z = jnp.zeros(x.shape[:-1] + (pad,), x.dtype)
+                return jnp.concatenate([x, z], axis=-1)
+
+            xs = tuple(padc(x).reshape(n_chunks, ch) for x in (rl, lane0, wz0, wz1))
+            gf_c = padc(gf).reshape(F, n_chunks, ch).transpose(1, 0, 2)
+            g_rows, _ = jax.lax.scan(
+                lambda gr, c: (scatter_rows(gr, *c), None), g_rows0, xs + (gf_c,))
+        g4 = g_rows.reshape(R, cpr + 1, F)
         main = g4[:, :cpr].reshape(R * cpr, F)
         extra = g4[:, cpr]  # canonical entries cpr*(r+1)
         need = cpr * R + 1
