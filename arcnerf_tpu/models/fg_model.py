@@ -174,23 +174,26 @@ class FgModel(Base3dModel):
     @staticmethod
     def _compact_sel(mask_pts, budget):
         """Flat indices of the first ``budget`` valid points under ANY
-        (B, N) mask pattern (prefix or scattered): global inclusive cumsum
-        (per-row cumsum + row offsets, all in clean (B, N) layouts) +
-        one searchsorted of ``budget`` keys. Replaces the per-ray
-        searchsorted that required left-compacted (prefix) masks — and so
-        removes the need for handle_valid_mask_zvals's stable argsort
-        (measured 281 ms at (32k, 128)) on the density-model path.
-        Returns (sel (budget,) int32, sel_valid (budget,) bool)."""
+        (B, N) mask pattern (prefix or scattered): global ranks from a
+        per-row cumsum + row offsets, then ONE rank element-scatter of the
+        flat indices (valid ranks are unique; clipped/invalid ranks land
+        on a dump slot past ``budget``). Replaces the budget-key
+        searchsorted into the 4.2M-element cumsum — 30.5 ms vs 54.5 ms at
+        the bench shapes, exact-parity (scripts/probe_compact_sel.py; the
+        two-level off-search + one-hot-matmul P form measured 47.1 ms).
+        Returns (sel (budget,) int32, sel_valid (budget,) bool). sel rows
+        past the valid count are 0 — consumers mask them via sel_valid."""
         n_rays, n_pts = mask_pts.shape
         total = n_rays * n_pts
         row = jnp.cumsum(mask_pts.astype(jnp.int32), axis=1)  # (B, N) inclusive
         tot = row[:, -1]
         off = jnp.cumsum(tot) - tot  # (B,) exclusive ray offsets
-        csum = (row + off[:, None]).reshape(-1)  # global inclusive cumsum, sorted
-        k = jnp.arange(budget, dtype=jnp.int32)
-        sel = jnp.clip(jnp.searchsorted(csum, k + 1, side="left"), 0, total - 1)
-        sel_valid = k < csum[-1]
-        return sel.astype(jnp.int32), sel_valid
+        g = (row + off[:, None] - 1).reshape(-1)  # global rank per slot
+        g = jnp.where(mask_pts.reshape(-1), jnp.clip(g, 0, budget), budget)
+        sel = jnp.zeros((budget + 1,), jnp.int32).at[g].set(
+            jnp.arange(total, dtype=jnp.int32), mode="drop")[:budget]
+        sel_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.sum(tot)
+        return sel, sel_valid
 
     def compact_point_eval(self, fn, pts, dirs, mask_pts, budget, fill="zero"):
         """Evaluate ``fn(pts, dirs) -> tuple of (N, ...) arrays`` on only the
