@@ -263,3 +263,28 @@ def test_hashgrid_embedder_rowform_grads():
     assert bool(jnp.isfinite(out).all())
     grads = jax.grad(lambda p: jnp.sum(enc.apply(p, pts) ** 2))(params)
     assert float(jnp.abs(grads["params"]["embeddings"]).sum()) > 0
+
+
+class TestTruncExpOverflow:
+
+    def test_forward_capped_no_inf(self):
+        """Forward must cap at exp(15): an f32 exp overflow (x > ~88.7)
+        produces inf sigma at masked samples, which survives the forward
+        invisibly and turns into inf*0 = NaN in the marching VJP (the
+        multivol epoch-10 divergence)."""
+        x = jnp.asarray([100.0, 89.0, 15.0, 0.0])
+        y = trunc_exp(x)
+        assert np.isfinite(np.asarray(y)).all()
+        np.testing.assert_allclose(np.asarray(y[:2]), np.exp(15.0), rtol=1e-6)
+
+    def test_masked_overflow_grad_finite(self):
+        """inf*0 NaN repro: sigma at a zero-delta sample must not poison
+        the gradient once the forward is capped."""
+        def f(x):
+            sigma = trunc_exp(x)
+            delta = jnp.asarray([0.1, 0.0])  # second sample masked (delta 0)
+            alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
+            return jnp.sum(alpha)
+
+        g = jax.grad(f)(jnp.asarray([1.0, 200.0]))
+        assert np.isfinite(np.asarray(g)).all()
