@@ -199,6 +199,7 @@ class ArcNerfTrainer:
             self._scan_sampled_impl, donate_argnums=(0,), static_argnums=(4,))
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._render_scan = jax.jit(self._render_scan_impl)
+        self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
         self._optimize_warmup = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, True))
         self._optimize_regular = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, False))
 
@@ -588,20 +589,11 @@ class ArcNerfTrainer:
             return np.ones(3, dtype=np.float32)
         return None
 
-    def render_image(self, sample, chunk_rays=None, bkg_color=None):
-        """Render a full image in ONE scan-batched device dispatch
-        (chunk_rays rays per scan step); returns dict of (H, W, ...)."""
-        if chunk_rays is None:
-            chunk_rays = min(int(self.model.get_chunk_rays()), 16384)
-        # keep the (padded) chunk divisible by the mesh so full-image eval
-        # shards at ANY resolution instead of silently replicating
-        n_dev = self.mesh.devices.size
-        chunk_rays = max(n_dev, (chunk_rays // n_dev) * n_dev)
-        h, w = int(sample["H"]), int(sample["W"])
-        n = sample["rays_o"].shape[0]
+    def _render_rays_stacked(self, sample, n, chunk_rays, bkg_color=None):
+        """Scan-render ``n`` rays from ``sample`` in one device dispatch;
+        returns dict of flat (n, ...) arrays (padding chopped)."""
         n_chunks = (n + chunk_rays - 1) // chunk_rays
         total = n_chunks * chunk_rays
-
         stack = {}
         for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
             if k in sample and sample[k] is not None:
@@ -615,11 +607,87 @@ class ArcNerfTrainer:
             ).copy()
         stack = shard_stacked_batch(stack, self.mesh)  # rays shard on axis 2
         outs = self._render_scan(self.eval_params(), self.state["bound_state"], stack)
+        return {k: np.asarray(v).reshape((total,) + v.shape[3:])[:n] for k, v in outs.items()}
+
+    def _chunk_for_mesh(self, chunk_rays):
+        """Keep the (padded) chunk divisible by the mesh so full-image eval
+        shards at ANY resolution instead of silently replicating."""
+        if chunk_rays is None:
+            chunk_rays = min(int(self.model.get_chunk_rays()), 16384)
+        n_dev = self.mesh.devices.size
+        return max(n_dev, (chunk_rays // n_dev) * n_dev)
+
+    def render_image(self, sample, chunk_rays=None, bkg_color=None):
+        """Render a full image in ONE scan-batched device dispatch
+        (chunk_rays rays per scan step); returns dict of (H, W, ...)."""
+        chunk_rays = self._chunk_for_mesh(chunk_rays)
+        h, w = int(sample["H"]), int(sample["W"])
+        n = sample["rays_o"].shape[0]
+        flat = self._render_rays_stacked(sample, n, chunk_rays, bkg_color=bkg_color)
+        return {k: v.reshape((h, w) + v.shape[1:]) for k, v in flat.items()}
+
+    # ------------------------------------------------- interactive render
+    def _hit_prepass_impl(self, bound_state, rays_o, rays_d, n_probe):
+        """Cheap per-ray can-hit test: AABB/sphere intersect + a coarse
+        ``n_probe``-sample occupancy probe along [near, far]. Measured on
+        the bench scene at 800x800, p50 of rays have ZERO valid samples
+        (scripts/probe_render.py) — skipping them halves the full
+        sampler's work before any quality tradeoff."""
+        from ..models.base_modules.obj_bound import _occ_mask_soa
+
+        bound = self.model.fg_model.get_obj_bound()
+        fg_state = bound_state.get("fg", bound_state)
+        near, far, hit = bound.get_near_far_from_rays(
+            fg_state, {"rays_o": rays_o, "rays_d": rays_d})
+        if "bitfield" in fg_state and hasattr(bound, "volume"):
+            t = jnp.linspace(0.0, 1.0, n_probe, dtype=jnp.float32)[None, :]
+            zvals = near + (far - near) * t  # (B, n_probe)
+            occ = _occ_mask_soa(bound.volume, fg_state["bitfield"], rays_o, rays_d, zvals)
+            hit = hit & jnp.any(occ, axis=1)
+        return hit
+
+    def render_image_fast(self, sample, chunk_rays=None, bkg_color=None, hit_frac=0.5, n_probe=32):
+        """Interactive-mode full-image render: the occupancy pre-pass
+        compacts the rays that can hit anything into a FIXED budget of
+        ``hit_frac * n`` rays (static chunk count -> no per-frame
+        retrace), only those run the full sampler (at the inference
+        per-ray cap, set_render_cap), and missed rays composite the
+        background directly. Pair with set_render_cap(4..8) for the
+        speed/quality ladder; quality vs render_image is measured in
+        bench.py (psnr_fast_vs_full). Returns (imgs dict, stats dict).
+
+        Reference analogue: the CUDA renderer compacts alive rays each
+        marching round (ns_viewer adaptive rendering / instant-ngp ray
+        compaction); one static pre-pass is the TPU-shaped version."""
+        chunk_rays = self._chunk_for_mesh(chunk_rays)
+        h, w = int(sample["H"]), int(sample["W"])
+        n = sample["rays_o"].shape[0]
+        rays_o = jnp.asarray(np.asarray(sample["rays_o"]))
+        rays_d = jnp.asarray(np.asarray(sample["rays_d"]))
+        hit = np.asarray(self._hit_prepass(self.state["bound_state"], rays_o, rays_d, n_probe))
+
+        budget = max(chunk_rays, int(-(-(n * hit_frac) // chunk_rays)) * chunk_rays)
+        idx = np.nonzero(hit)[0]
+        n_hit, n_clip = len(idx), max(0, len(idx) - budget)
+        idx = idx[:budget]
+        if len(idx) < budget:  # pad with the last hit ray (or ray 0)
+            fill = idx[-1] if len(idx) else 0
+            idx = np.concatenate([idx, np.full(budget - len(idx), fill, dtype=idx.dtype)])
+
+        sub = {k: np.asarray(sample[k])[idx] for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time")
+               if k in sample and sample[k] is not None}
+        flat_sub = self._render_rays_stacked(sub, budget, chunk_rays, bkg_color=bkg_color)
+
+        valid_n = min(n_hit, budget)
         imgs = {}
-        for k, v in outs.items():
-            flat = np.asarray(v).reshape((total,) + v.shape[3:])[:n]
-            imgs[k] = flat.reshape((h, w) + flat.shape[1:])
-        return imgs
+        for k, v in flat_sub.items():
+            full = np.zeros((n,) + v.shape[1:], dtype=v.dtype)
+            if k == "rgb" and bkg_color is not None:
+                full[:] = np.asarray(bkg_color, dtype=v.dtype)
+            full[idx[:valid_n]] = v[:valid_n]
+            imgs[k] = full.reshape((h, w) + v.shape[1:])
+        stats = {"hit_frac": n_hit / max(n, 1), "budget_rays": budget, "clipped_rays": n_clip}
+        return imgs, stats
 
     # ------------------------------------------------------------- main loop
     def train(self):

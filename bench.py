@@ -30,6 +30,8 @@ import os
 import statistics
 import time
 
+import numpy as np
+
 
 def _matmul_peak_probe(jax, jnp, smoke=False):
     """Measured bf16 matmul throughput via one dispatch of 32 chained
@@ -202,12 +204,30 @@ def main():
     # early-termination analogue; see obj_bound._cap_pts_per_ray). Set
     # BEFORE the first render call so the jitted scan renderer traces it.
     render_cap = 16
-    trainer.model.fg_model.get_obj_bound().set_optim_cfgs("eval_max_pts_per_ray", render_cap)
-    imgs = trainer.render_image(sample, chunk_rays=n_rays)  # compile
-    t0 = time.perf_counter()
-    imgs = trainer.render_image(sample, chunk_rays=n_rays)
-    render_s = time.perf_counter() - t0
+    trainer.set_render_cap(render_cap)
+    render_chunk = min(n_rays, 32768)  # 32k chunks measured ~1.7x 16k (probe_render.py)
+    imgs = trainer.render_image(sample, chunk_rays=render_chunk)  # compile
+    tr = []
+    for _ in range(3):  # min-of-3: single-shot tunnel timings showed 3x outliers
+        t0 = time.perf_counter()
+        imgs = trainer.render_image(sample, chunk_rays=render_chunk)
+        tr.append(time.perf_counter() - t0)
+    render_s = min(tr)
     assert imgs["rgb"].shape[0] == render_wh
+
+    # interactive mode: occupancy pre-pass ray compaction + tighter cap
+    # (trainer.render_image_fast); quality pinned vs the full render
+    trainer.set_render_cap(8)
+    fast, fstats = trainer.render_image_fast(sample, chunk_rays=render_chunk, hit_frac=0.5)
+    tf = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fast, fstats = trainer.render_image_fast(sample, chunk_rays=render_chunk, hit_frac=0.5)
+        tf.append(time.perf_counter() - t0)
+    render_fast_s = min(tf)
+    mse = float(np.mean((np.asarray(fast["rgb"]) - np.asarray(imgs["rgb"])) ** 2))
+    psnr_fast_vs_full = float(-10.0 * np.log10(max(mse, 1e-12)))
+    trainer.set_render_cap(render_cap)
 
     ref_total_rays = 50000 * 4096
     proj_min_ref_workload = ref_total_rays / rays_per_sec / 60.0
@@ -288,6 +308,11 @@ def main():
         "render_{}px_ms".format(render_wh): round(render_s * 1e3, 1),
         "render_fps_{}px".format(render_wh): round(1.0 / render_s, 3),
         "render_cap_pts": render_cap,
+        "render_fast_{}px_ms".format(render_wh): round(render_fast_s * 1e3, 1),
+        "render_fps_{}px_fast".format(render_wh): round(1.0 / render_fast_s, 3),
+        "psnr_fast_vs_full": round(psnr_fast_vs_full, 2),
+        "fast_hit_frac": round(fstats["hit_frac"], 3),
+        "fast_clipped_rays": int(fstats["clipped_rays"]),
         "proj_min_ngp_50kx4096": round(proj_min_ref_workload, 1),
         **recipe,
     }))

@@ -80,3 +80,39 @@ def test_render_cap_retrace_and_budget_shrink():
         trainer.set_render_cap(2)
         cap_budget = -(-(n_rays * 2) // 1024) * 1024
         assert cap_budget < budget, "test setup: shrunk budget must be smaller"
+
+
+def test_render_image_fast_matches_full():
+    """render_image_fast: occupancy pre-pass + ray compaction must agree
+    with the full render on hit rays (identical program on the same rays)
+    and composite background zeros on misses; stats report the hit
+    fraction and clipping."""
+    import jax.numpy as jnp
+
+    with tempfile.TemporaryDirectory() as d:
+        trainer = _tiny_trainer(d)
+        for ep in range(24):
+            trainer.train_steps(ep, 1)
+        sample = trainer.pipeline  # unused; build rays from the val set
+        from arcnerf_tpu.datasets import get_dataset
+
+        cfgs = load_configs(CFG)
+        update_configs_by_dotlist(cfgs, ["--name", "fastrender_ds",
+                                         "--dataset.val.n_imgs", "1",
+                                         "--dataset.val.wh", "[32,32]"])
+        ds = get_dataset(cfgs.dataset, "data", mode="val")
+        s = ds[0]
+
+        trainer.set_render_cap(8)
+        full = trainer.render_image(s, chunk_rays=256)
+        fast, stats = trainer.render_image_fast(s, chunk_rays=256, hit_frac=0.6)
+
+        assert fast["rgb"].shape == full["rgb"].shape
+        assert 0.0 < stats["hit_frac"] <= 1.0
+        if stats["clipped_rays"] == 0:
+            # hit rays run the identical program -> near-identical pixels
+            err = np.abs(fast["rgb"] - full["rgb"]).max()
+            assert err < 5e-2, "fast render diverged from full: max err {}".format(err)
+        # misses must be exactly background (zeros) where full has no mask
+        miss = np.asarray(full["mask"]).reshape(-1) < 1e-6
+        np.testing.assert_allclose(np.asarray(fast["mask"]).reshape(-1)[miss], 0.0, atol=1e-6)
