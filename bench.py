@@ -215,18 +215,26 @@ def main():
     render_s = min(tr)
     assert imgs["rgb"].shape[0] == render_wh
 
-    # interactive mode: occupancy pre-pass ray compaction + tighter cap
-    # (trainer.render_image_fast); quality pinned vs the full render
-    trainer.set_render_cap(8)
-    fast, fstats = trainer.render_image_fast(sample, chunk_rays=render_chunk, hit_frac=0.5)
-    tf = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fast, fstats = trainer.render_image_fast(sample, chunk_rays=render_chunk, hit_frac=0.5)
-        tf.append(time.perf_counter() - t0)
-    render_fast_s = min(tf)
-    mse = float(np.mean((np.asarray(fast["rgb"]) - np.asarray(imgs["rgb"])) ** 2))
-    psnr_fast_vs_full = float(-10.0 * np.log10(max(mse, 1e-12)))
+    # compacted full-quality render: occupancy pre-pass ray compaction at
+    # the SAME cap — for models without a learned background this is
+    # pixel-identical to render_image (hit rays run the identical program,
+    # misses are exact background), at ~hit_frac of the chunks
+    def _timed_fast(frac):
+        fast, fstats = trainer.render_image_fast(sample, chunk_rays=render_chunk, hit_frac=frac)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fast, fstats = trainer.render_image_fast(sample, chunk_rays=render_chunk, hit_frac=frac)
+            ts.append(time.perf_counter() - t0)
+        mse = float(np.mean((np.asarray(fast["rgb"]) - np.asarray(imgs["rgb"])) ** 2))
+        return min(ts), float(-10.0 * np.log10(max(mse, 1e-12))), fstats
+
+    render_compact_s, psnr_compact_vs_full, cstats = _timed_fast(0.42)
+
+    # interactive mode: compaction + cap 4 (shrinks the compaction budget
+    # to chunk*4 — at 32k chunks cap 8 does NOT: min(2^18, 32k*8) = 2^18)
+    trainer.set_render_cap(4)
+    render_fast_s, psnr_fast_vs_full, fstats = _timed_fast(0.42)
     trainer.set_render_cap(render_cap)
 
     ref_total_rays = 50000 * 4096
@@ -308,6 +316,9 @@ def main():
         "render_{}px_ms".format(render_wh): round(render_s * 1e3, 1),
         "render_fps_{}px".format(render_wh): round(1.0 / render_s, 3),
         "render_cap_pts": render_cap,
+        "render_compact_{}px_ms".format(render_wh): round(render_compact_s * 1e3, 1),
+        "render_fps_{}px_compact".format(render_wh): round(1.0 / render_compact_s, 3),
+        "psnr_compact_vs_full": round(psnr_compact_vs_full, 2),
         "render_fast_{}px_ms".format(render_wh): round(render_fast_s * 1e3, 1),
         "render_fps_{}px_fast".format(render_wh): round(1.0 / render_fast_s, 3),
         "psnr_fast_vs_full": round(psnr_fast_vs_full, 2),
