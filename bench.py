@@ -253,7 +253,7 @@ def main():
         cfgs_r = load_configs(os.path.join(root, "configs", "expr", "synthetic_ngp.yaml"))
         update_configs_by_dotlist(cfgs_r, [
             "--name", "bench_ngp_recipe",
-            "--progress.epoch", "200", "--progress.epoch_loss", "1000000",
+            "--progress.epoch", "400", "--progress.epoch_loss", "1000000",
             "--progress.epoch_val", "-1", "--progress.epoch_save_checkpoint", "1000000",
             "--progress.scan_steps", str(scan_steps),
             "--n_rays", "4096",
@@ -266,9 +266,17 @@ def main():
         ])
         trainer_r = ArcNerfTrainer(cfgs_r)
         ep = 0
-        for _ in range(4):  # warmup: occupancy warmup + two optimize passes
+        # warm until the occupancy pruning SETTLES (the r3f run measured the
+        # still-dense regime at 64 epochs: 50.9 valid/ray -> a 313-min
+        # projection that just reflected warmup, not steady state)
+        prev_valid = float("inf")
+        for w in range(20):
             stats_r = trainer_r.train_steps(ep, scan_steps)
             ep += scan_steps
+            v = float(stats_r["n_valid_pts"])
+            if w >= 4 and v > prev_valid * 0.95:
+                break
+            prev_valid = v
         valid_pts = float(stats_r["n_valid_pts"])
         valid_per_ray = valid_pts / 4096.0
         # reference dynamic_batch_size semantics: grow rays until the point
