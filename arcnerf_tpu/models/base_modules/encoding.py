@@ -338,8 +338,7 @@ def _hash_lookup_fused(spec, table, pair_idx, w):
     they must build their geo net with needs_input_grad=True, which sets
     HashGridEmbedder.fuse_interp=False (build_geo_model)."""
     (L, T, F), gather_dtype, _, _, _ = spec
-    offs, cpr = _fused_row_offsets(spec)
-    _, _, _, n_entries = _pair_layout(spec)
+    _, cpr, _, n_entries = _pair_layout(spec)
     B = pair_idx.shape[2]
     Nl = 4 * B
     # per-level gathers (not one merged gather over concatenated tables):

@@ -212,8 +212,9 @@ class FgModel(Base3dModel):
         sel, sel_valid = self._compact_sel(mask_pts, budget)
 
         outs_c = fn(pts[sel], dirs[sel])
-        # out-of-budget rows all clamp onto the same (last) index and would
-        # collide with a real point — divert them to a dump slot at `total`
+        # out-of-budget rows come back as sel=0 (rank-scatter leaves unset
+        # slots at 0) and would collide with flat index 0 — divert them to
+        # a dump slot at `total`
         sel_safe = jnp.where(sel_valid, sel, total)
         outs = []
         iota = jnp.arange(n_pts, dtype=jnp.int32)[None, :]

@@ -125,11 +125,14 @@ class Pipeline:
         return batch
 
     # -------------------------------------------------------- dynamic batch
-    def record_valid_pts(self, n_valid_pts, n_pts_per_ray):
+    def record_valid_pts(self, n_valid_pts, n_pts_per_ray, n_rays=None):
         """Feed back the measured valid-point count of a step. Accepts a
         device array — NOT read until update_dynamic_bs fires, so no
-        per-step device->host sync."""
-        self._measured.append((n_valid_pts, float(self.n_rays), float(n_pts_per_ray)))
+        per-step device->host sync. ``n_rays`` is the count the step
+        ACTUALLY sampled (the on-device sampler may round to a mesh
+        multiple or clamp to the pool size); defaults to self.n_rays."""
+        self._measured.append((n_valid_pts, float(n_rays if n_rays else self.n_rays),
+                               float(n_pts_per_ray)))
 
     def update_dynamic_bs(self, epoch, log_max_allowance):
         """Every update_epoch steps, rescale n_rays so that expected valid

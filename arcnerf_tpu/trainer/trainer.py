@@ -470,7 +470,7 @@ class ArcNerfTrainer:
                 self.state, stats = self._train_step_sampled(
                     self.state, self._device_pool, sub, epoch, n_rays)
                 if "n_valid_pts" in stats and self.log_max_allowance:
-                    self.pipeline.record_valid_pts(stats["n_valid_pts"], self.n_coarse)
+                    self.pipeline.record_valid_pts(stats["n_valid_pts"], self.n_coarse, n_rays=n_rays)
                 return stats
             keys = jax.random.split(sub, stride)
             self.state, stats_seq = self._scan_sampled_fn(
@@ -478,7 +478,7 @@ class ArcNerfTrainer:
             stats = {k: v[-1] for k, v in stats_seq.items()}
             if "n_valid_pts" in stats_seq and self.log_max_allowance:
                 for t in range(stride):
-                    self.pipeline.record_valid_pts(stats_seq["n_valid_pts"][t], self.n_coarse)
+                    self.pipeline.record_valid_pts(stats_seq["n_valid_pts"][t], self.n_coarse, n_rays=n_rays)
             return stats
 
         if stride <= 1:
@@ -649,7 +649,17 @@ class ArcNerfTrainer:
             fg_state, {"rays_o": rays_o, "rays_d": rays_d})
         near = near if near.ndim == 2 else near[:, None]
         far = far if far.ndim == 2 else far[:, None]
-        if "bitfield" in fg_state and hasattr(bound, "volume"):
+        # probe occupancy ONLY when the real sampler culls by it on the
+        # fix-step ladder (ray_sample_acc + ray_sample_fix_step) — for any
+        # other sampler the bitfield is not part of the render contract
+        # and culling by it would blank rays the full render shades
+        use_occ = (
+            "bitfield" in fg_state and hasattr(bound, "volume")
+            and bound.get_optim_cfgs("epoch_optim") is not None
+            and bound.get_optim_cfgs("ray_sample_acc")
+            and bound.get_optim_cfgs("ray_sample_fix_step")
+        )
+        if use_occ:
             if n_probe <= 0:  # exact: the sampler's fix-step ladder
                 n_pts = int(self.model.fg_model.get_ray_cfgs("n_sample"))
                 fix_t = bound.volume.get_diag_len() / n_pts
@@ -659,7 +669,8 @@ class ArcNerfTrainer:
                 zvals = near + (far - near) * t  # (B, n_probe)
                 mask = jnp.ones_like(zvals, dtype=bool)
             occ = mask & _occ_mask_soa(bound.volume, fg_state["bitfield"], rays_o, rays_d, zvals)
-            hit = hit & jnp.any(occ, axis=1)
+            occ_hit = jnp.any(occ, axis=1)
+            hit = occ_hit if hit is None else (hit & occ_hit)
         return hit
 
     def render_image_fast(self, sample, chunk_rays=None, bkg_color=None, hit_frac=0.5, n_probe=0):
@@ -675,12 +686,28 @@ class ArcNerfTrainer:
         Reference analogue: the CUDA renderer compacts alive rays each
         marching round (ns_viewer adaptive rendering / instant-ngp ray
         compaction); one static pre-pass is the TPU-shaped version."""
+        # a model-owned background (learned bkg model) must be rendered on
+        # every ray — compacting misses would leave black holes where the
+        # full render paints bkg radiance; fall back to the exact path
+        if getattr(self.model, "has_bkg", False):
+            imgs = self.render_image(sample, chunk_rays=chunk_rays, bkg_color=bkg_color)
+            return imgs, {"hit_frac": 1.0, "budget_rays": sample["rays_o"].shape[0],
+                          "clipped_rays": 0, "fallback": "has_bkg"}
         chunk_rays = self._chunk_for_mesh(chunk_rays)
+        # compacted chunks are 100% hit rays: cap their worst-case valid
+        # points at the static compaction budget, else dense chunks CLIP
+        # points silently (measured 25.3 dB vs full at 32k chunks x cap 16:
+        # ~480k capped-valid points against the 2^18 per-chunk budget)
+        cap = self.model.fg_model.get_obj_bound().get_optim_cfgs("eval_max_pts_per_ray")
+        pt_budget = self.model.fg_model.get_render_cfgs("max_allowance")
+        if cap and isinstance(pt_budget, int) and pt_budget > 0:
+            chunk_rays = self._chunk_for_mesh(min(chunk_rays, pt_budget // int(cap)))
         h, w = int(sample["H"]), int(sample["W"])
         n = sample["rays_o"].shape[0]
         rays_o = jnp.asarray(np.asarray(sample["rays_o"]))
         rays_d = jnp.asarray(np.asarray(sample["rays_d"]))
-        hit = np.asarray(self._hit_prepass(self.state["bound_state"], rays_o, rays_d, n_probe))
+        hit = self._hit_prepass(self.state["bound_state"], rays_o, rays_d, n_probe)
+        hit = np.ones(n, dtype=bool) if hit is None else np.asarray(hit)
 
         budget = max(chunk_rays, int(-(-(n * hit_frac) // chunk_rays)) * chunk_rays)
         idx = np.nonzero(hit)[0]
@@ -698,8 +725,11 @@ class ArcNerfTrainer:
         imgs = {}
         for k, v in flat_sub.items():
             full = np.zeros((n,) + v.shape[1:], dtype=v.dtype)
-            if k == "rgb" and bkg_color is not None:
-                full[:] = np.asarray(bkg_color, dtype=v.dtype)
+            if k == "rgb":
+                if bkg_color is not None:
+                    full[:] = np.asarray(bkg_color, dtype=v.dtype)
+                elif self.model.fg_model.get_ray_cfgs("white_bkg"):
+                    full[:] = 1.0  # match render_image's white fill on empty rays
             full[idx[:valid_n]] = v[:valid_n]
             imgs[k] = full.reshape((h, w) + v.shape[1:])
         stats = {"hit_frac": n_hit / max(n, 1), "budget_rays": budget, "clipped_rays": n_clip}
@@ -744,6 +774,13 @@ class ArcNerfTrainer:
                         self.tx = with_f32_master(self.tx)
                     self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
                     self._scan_steps_fn = jax.jit(self._scan_steps_impl, donate_argnums=(0,))
+                    # the on-device-sampling path (the default for
+                    # mode=random) trains through these jits — they must be
+                    # rebuilt too or the stale warmup clip keeps serving
+                    self._train_step_sampled = jax.jit(
+                        self._train_step_sampled_impl, donate_argnums=(0,), static_argnums=(4,))
+                    self._scan_sampled_fn = jax.jit(
+                        self._scan_sampled_impl, donate_argnums=(0,), static_argnums=(4,))
                     self.logger.add_log("switched grad clip to {} at epoch {}".format(
                         new_optim.clip_gradients, epoch))
 

@@ -93,7 +93,6 @@ def test_render_image_fast_matches_full():
         trainer = _tiny_trainer(d)
         for ep in range(24):
             trainer.train_steps(ep, 1)
-        sample = trainer.pipeline  # unused; build rays from the val set
         from arcnerf_tpu.datasets import get_dataset
 
         cfgs = load_configs(CFG)
