@@ -91,6 +91,9 @@ class BasicBound:
             "epoch_optim_warmup": get_value_from_cfgs_field(self.cfgs, "epoch_optim_warmup", None),
             "ema_optim_decay": get_value_from_cfgs_field(self.cfgs, "ema_optim_decay", 0.95),
             "opa_thres": get_value_from_cfgs_field(self.cfgs, "opa_thres", 0.01),
+            # inference-only coarse-ladder override (trainer.set_render_cap):
+            # render with fewer fix-step samples per ray than training
+            "eval_n_sample": get_value_from_cfgs_field(self.cfgs, "eval_n_sample", None),
         }
 
     def get_optim_cfgs(self, key=None):

@@ -144,8 +144,14 @@ class FgModel(Base3dModel):
         near, far, mask_rays = self.get_near_far_from_rays(inputs, bound_state)
         near = jax.lax.stop_gradient(near)
         far = jax.lax.stop_gradient(far)
+        n_coarse = self.get_n_coarse_sample()
+        if inference_only:
+            # inference ladder override (trainer.set_render_cap n_sample):
+            # coarser fix-step marching for interactive rendering
+            ns_eval = self.get_obj_bound().get_optim_cfgs().get("eval_n_sample")
+            n_coarse = int(ns_eval) if ns_eval else n_coarse
         zvals, mask_pts = self.get_zvals_from_near_far(
-            near, far, self.get_n_coarse_sample(), inference_only, rays_o, rays_d, bound_state
+            near, far, n_coarse, inference_only, rays_o, rays_d, bound_state
         )
         zvals = jax.lax.stop_gradient(zvals)
 

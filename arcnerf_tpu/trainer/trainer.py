@@ -205,19 +205,23 @@ class ArcNerfTrainer:
 
         self._last_save_time = time.time()
 
-    def set_render_cap(self, cap):
+    def set_render_cap(self, cap, n_sample=None):
         """Set the inference per-ray sample cap (obj_bound.eval_max_pts_per_ray)
-        and re-jit the render paths so the new cap actually re-traces.
+        — and optionally an inference-only coarse-ladder size
+        (obj_bound.eval_n_sample, fewer fix-step samples per ray) — then
+        re-jit the render paths so the new values actually re-trace.
 
-        The cap is read at TRACE time (a Python int baked into the jitted
+        Both are read at TRACE time (Python ints baked into the jitted
         graph), so mutating the config alone keeps serving the old compiled
         executable from jit's cache — the viewer's adaptive-quality ladder
         and eval_render_cap.py both go through here. cap=None disables
-        capping (full sample count)."""
+        capping (full sample count); n_sample=None keeps the training
+        ladder."""
         obj_bound = get_value_from_cfgs_field(self.cfgs.model, "obj_bound", None)
         if obj_bound is None:
             return
         setattr(obj_bound, "eval_max_pts_per_ray", cap)
+        setattr(obj_bound, "eval_n_sample", n_sample)
         # the bound cache keys on the obj_bound cfg repr, so the next
         # get_obj_bound() builds a bound carrying the new cap
         self._render_chunk = jax.jit(self._render_chunk_impl)
@@ -661,7 +665,8 @@ class ArcNerfTrainer:
         )
         if use_occ:
             if n_probe <= 0:  # exact: the sampler's fix-step ladder
-                n_pts = int(self.model.fg_model.get_ray_cfgs("n_sample"))
+                ns_eval = bound.get_optim_cfgs().get("eval_n_sample")
+                n_pts = int(ns_eval) if ns_eval else int(self.model.fg_model.get_ray_cfgs("n_sample"))
                 fix_t = bound.volume.get_diag_len() / n_pts
                 zvals, mask = get_zvals_from_near_far_fix_step(near, far, fix_t, n_pts)
             else:

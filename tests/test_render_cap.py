@@ -115,3 +115,33 @@ def test_render_image_fast_matches_full():
         # misses must be exactly background (zeros) where full has no mask
         miss = np.asarray(full["mask"]).reshape(-1) < 1e-6
         np.testing.assert_allclose(np.asarray(fast["mask"]).reshape(-1)[miss], 0.0, atol=1e-6)
+
+
+def test_render_eval_n_sample_override():
+    """set_render_cap(cap, n_sample=...) must render at a coarser
+    inference ladder (fewer fix-step samples), retrace, and stay a close
+    approximation of the full-ladder render."""
+    with tempfile.TemporaryDirectory() as d:
+        trainer = _tiny_trainer(d)
+        for ep in range(24):
+            trainer.train_steps(ep, 1)
+        from arcnerf_tpu.datasets import get_dataset
+
+        cfgs = load_configs(CFG)
+        update_configs_by_dotlist(cfgs, ["--name", "evalns_ds",
+                                         "--dataset.val.n_imgs", "1",
+                                         "--dataset.val.wh", "[32,32]"])
+        s = get_dataset(cfgs.dataset, "data", mode="val")[0]
+
+        trainer.set_render_cap(8)
+        full = trainer.render_image(s, chunk_rays=256)
+        trainer.set_render_cap(8, n_sample=16)  # training ladder is 32
+        coarse = trainer.render_image(s, chunk_rays=256)
+        assert coarse["rgb"].shape == full["rgb"].shape
+        mse = float(np.mean((coarse["rgb"] - full["rgb"]) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        assert psnr > 15.0, "half-ladder render too far from full: {:.2f} dB".format(psnr)
+        assert mse > 0.0, "ladder override did not retrace (identical output)"
+        trainer.set_render_cap(None, n_sample=None)
+        restored = trainer.render_image(s, chunk_rays=256)
+        assert restored["rgb"].shape == full["rgb"].shape
