@@ -615,9 +615,20 @@ class ArcNerfTrainer:
 
     def _chunk_for_mesh(self, chunk_rays):
         """Keep the (padded) chunk divisible by the mesh so full-image eval
-        shards at ANY resolution instead of silently replicating."""
+        shards at ANY resolution instead of silently replicating, and cap
+        chunk*cap at the static point budget: a chunk whose capped-valid
+        points exceed the budget CLIPS silently — prefix compaction takes
+        the first-budget valid points in ray order, so TAIL rays of dense
+        chunks lose all their samples (measured: full 800x800 render at
+        32k chunks x cap 16 had chunks at 274,918 capped-valid vs the
+        2^18 budget — 21.8k blanked rays, 29.6 dB vs the clip-free
+        render; scripts/probe_chunk_diff2 section of docs/benchmark.md)."""
         if chunk_rays is None:
             chunk_rays = min(int(self.model.get_chunk_rays()), 16384)
+        cap = self.model.fg_model.get_obj_bound().get_optim_cfgs().get("eval_max_pts_per_ray")
+        pt_budget = self.model.fg_model.get_render_cfgs("max_allowance")
+        if cap and isinstance(pt_budget, int) and pt_budget > 0:
+            chunk_rays = min(chunk_rays, pt_budget // int(cap))
         n_dev = self.mesh.devices.size
         return max(n_dev, (chunk_rays // n_dev) * n_dev)
 
@@ -698,15 +709,7 @@ class ArcNerfTrainer:
             imgs = self.render_image(sample, chunk_rays=chunk_rays, bkg_color=bkg_color)
             return imgs, {"hit_frac": 1.0, "budget_rays": sample["rays_o"].shape[0],
                           "clipped_rays": 0, "fallback": "has_bkg"}
-        chunk_rays = self._chunk_for_mesh(chunk_rays)
-        # compacted chunks are 100% hit rays: cap their worst-case valid
-        # points at the static compaction budget, else dense chunks CLIP
-        # points silently (measured 25.3 dB vs full at 32k chunks x cap 16:
-        # ~480k capped-valid points against the 2^18 per-chunk budget)
-        cap = self.model.fg_model.get_obj_bound().get_optim_cfgs("eval_max_pts_per_ray")
-        pt_budget = self.model.fg_model.get_render_cfgs("max_allowance")
-        if cap and isinstance(pt_budget, int) and pt_budget > 0:
-            chunk_rays = self._chunk_for_mesh(min(chunk_rays, pt_budget // int(cap)))
+        chunk_rays = self._chunk_for_mesh(chunk_rays)  # incl. budget/cap clamp
         h, w = int(sample["H"]), int(sample["W"])
         n = sample["rays_o"].shape[0]
         rays_o = jnp.asarray(np.asarray(sample["rays_o"]))

@@ -55,13 +55,17 @@ def test_render_cap_retrace_and_budget_shrink():
         bkg = trainer.eval_bkg_color("val")
 
         trainer.set_render_cap(None)
-        full = trainer.render_image(sample, bkg_color=bkg)["rgb"]
+        # chunk 256 keeps the UNCAPPED render clip-free too (256 rays x 32
+        # samples = the 2^13 budget): capped renders are chunk-clamped to
+        # budget//cap, and comparing against a silently-clipping uncapped
+        # render would flag the capped one for being MORE correct
+        full = trainer.render_image(sample, bkg_color=bkg, chunk_rays=256)["rgb"]
         assert np.isfinite(full).all()
 
         # the cap flows to the model cfg used at trace time
         trainer.set_render_cap(1)
         assert trainer.model.fg_model.get_render_cfgs("eval_max_pts_per_ray") == 1
-        capped = trainer.render_image(sample, bkg_color=bkg)["rgb"]
+        capped = trainer.render_image(sample, bkg_color=bkg, chunk_rays=256)["rgb"]
         assert np.isfinite(capped).all()
         # with a single valid sample per ray the render must differ from the
         # full-sample render — if jit had served the stale executable the
@@ -70,7 +74,7 @@ def test_render_cap_retrace_and_budget_shrink():
 
         # a generous cap covers every valid sample -> bit-identical to full
         trainer.set_render_cap(32)
-        wide = trainer.render_image(sample, bkg_color=bkg)["rgb"]
+        wide = trainer.render_image(sample, bkg_color=bkg, chunk_rays=256)["rgb"]
         assert np.allclose(wide, full, atol=1e-5), "cap >= n_sample must reproduce the uncapped render"
 
         # budget shrink: the capped compaction budget is ceil(rays*cap/1024)*1024
