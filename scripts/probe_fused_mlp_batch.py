@@ -10,7 +10,11 @@ Run on the TPU when the chip is quiet:
     python scripts/probe_fused_mlp_batch.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
