@@ -161,7 +161,7 @@ def main():
     report("h sort + sorted segment_sum (N,4)", form_h, slot, ridx, wz0, wz1, gf)
 
 
-if __name__ == "__main__" and "--fwd" not in sys.argv:
+if __name__ == "__main__" and "--fwd" not in sys.argv and "--split" not in sys.argv:
     main()
 
 
@@ -222,4 +222,53 @@ def fwd_forms():
 
 if __name__ == "__main__" and "--fwd" in sys.argv:
     fwd_forms()
+    sys.exit(0)
+
+
+def split_forms():
+    """Does splitting a per-level scatter into S independent sub-buffers
+    (summed after) beat one scatter? XLA scatter-add serializes duplicate
+    indices; independent buffers could overlap."""
+    L, T, F = 16, 1 << 19, 2
+    cpr = 128 // F - 1
+    B = 1 << 18
+    R = -(-T // cpr)
+    rng = np.random.default_rng(0)
+    e = jnp.asarray(rng.integers(0, T - 1, size=(L, 4, B)), jnp.int32)
+    wz0 = jnp.asarray(rng.random((L, 4 * B), dtype=np.float32))
+    wz1 = jnp.asarray(rng.random((L, 4 * B), dtype=np.float32))
+    gf = jnp.asarray(rng.standard_normal((F, L, 4 * B), dtype=np.float32))
+
+    def upd_of(el, lane0, w0, w1, g0, g1):
+        n = el.shape[0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+        upd = jnp.where(lanes == lane0[:, None], (w0 * g0)[:, None], 0.0)
+        upd = upd + jnp.where(lanes == (lane0 + 1)[:, None], (w0 * g1)[:, None], 0.0)
+        upd = upd + jnp.where(lanes == (lane0 + F)[:, None], (w1 * g0)[:, None], 0.0)
+        upd = upd + jnp.where(lanes == (lane0 + F + 1)[:, None], (w1 * g1)[:, None], 0.0)
+        return upd
+
+    def make(S):
+        @jax.jit
+        def f(e, wz0, wz1, gf):
+            out = []
+            n = 4 * B
+            for l in range(L):
+                el = e[l].reshape(-1)
+                lane0 = (el % cpr) * F
+                accs = []
+                for s in range(S):
+                    sl = slice(s * n // S, (s + 1) * n // S)
+                    upd = upd_of(el[sl], lane0[sl], wz0[l, sl], wz1[l, sl], gf[0, l, sl], gf[1, l, sl])
+                    accs.append(jnp.zeros((R, 128), jnp.float32).at[el[sl] // cpr].add(upd))
+                out.append(sum(accs) if S > 1 else accs[0])
+            return jnp.stack(out)
+        return f
+
+    for S in (1, 2, 4):
+        report("split S={} per-level scatter".format(S), make(S), e, wz0, wz1, gf)
+
+
+if __name__ == "__main__" and "--split" in sys.argv:
+    split_forms()
     sys.exit(0)
