@@ -46,6 +46,29 @@ from .optimizer import build_optimizer
 from .pipeline import Pipeline
 
 
+def _bilinear_upsample(img, h, w, off, scale):
+    """Upsample a (hs, ws, ...) subgrid — full-res pixel (off + i*scale)
+    maps to subgrid pixel i — back to (h, w, ...), bilinear, edge-clamped.
+    Host-side numpy: frames are already on the host for compositing, and
+    the interp is ~ms at 800x800."""
+    img = np.asarray(img)
+    hs, ws = img.shape[:2]
+    ys = (np.arange(h, dtype=np.float64) - off) / scale
+    xs = (np.arange(w, dtype=np.float64) - off) / scale
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, hs - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, ws - 1)
+    y1 = np.minimum(y0 + 1, hs - 1)
+    x1 = np.minimum(x0 + 1, ws - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    extra = img.ndim - 2
+    wy = wy.reshape(wy.shape + (1,) * extra)
+    wx = wx.reshape(wx.shape + (1,) * extra)
+    top = img[y0][:, x0] * (1.0 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1.0 - wx) + img[y1][:, x1] * wx
+    return (top * (1.0 - wy) + bot * wy).astype(img.dtype)
+
+
 class ArcNerfTrainer:
 
     def __init__(self, cfgs):
@@ -741,6 +764,43 @@ class ArcNerfTrainer:
             full[idx[:valid_n]] = v[:valid_n]
             imgs[k] = full.reshape((h, w) + v.shape[1:])
         stats = {"hit_frac": n_hit / max(n, 1), "budget_rays": budget, "clipped_rays": n_clip}
+        return imgs, stats
+
+    def render_image_interactive(self, sample, scale=2, chunk_rays=None, bkg_color=None,
+                                 hit_frac=0.5, n_probe=0):
+        """Adaptive-resolution interactive render: shade a stride-``scale``
+        subgrid of the image's rays through the compacted fast path
+        (occupancy pre-pass + per-ray sample cap, render_image_fast), then
+        bilinear-upsample every per-ray output back to the full frame.
+
+        Resolution is the honest interactive lever on this workload: the
+        eval path's cost scales with shaded slots = hit_rays * cap, so at
+        a fixed cap a half-res frame costs ~4x less than any per-sample
+        knob can recover at full res (measured: cap 4 / ns 64 / 64k-chunk
+        sweeps all land within 1.1x of the cap-4 bench tier —
+        scripts/probe_render_surgery.py). This mirrors the reference
+        viewer's interaction-time adaptive rendering
+        (ns_viewer/server/viewer_utils.py:657): low-res while moving,
+        full-res on settle. Pair with set_render_cap(cap, n_sample=...)
+        for the quality ladder; returns (imgs dict at FULL (H, W), stats).
+        """
+        h, w = int(sample["H"]), int(sample["W"])
+        scale = max(1, int(scale))
+        if scale == 1:
+            return self.render_image_fast(sample, chunk_rays=chunk_rays,
+                                          bkg_color=bkg_color, hit_frac=hit_frac, n_probe=n_probe)
+        off = scale // 2  # subgrid pixel centers sit mid-stride
+        hs, ws = len(range(off, h, scale)), len(range(off, w, scale))
+        sub = {"H": hs, "W": ws}
+        for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time", "img", "mask"):
+            if k in sample and sample[k] is not None:
+                arr = np.asarray(sample[k])
+                grid = arr.reshape((h, w) + arr.shape[1:])
+                sub[k] = grid[off::scale, off::scale].reshape((hs * ws,) + arr.shape[1:])
+        imgs_s, stats = self.render_image_fast(sub, chunk_rays=chunk_rays,
+                                               bkg_color=bkg_color, hit_frac=hit_frac, n_probe=n_probe)
+        imgs = {k: _bilinear_upsample(v, h, w, off, scale) for k, v in imgs_s.items()}
+        stats = dict(stats, scale=scale, shaded_rays=hs * ws)
         return imgs, stats
 
     # ------------------------------------------------------------- main loop

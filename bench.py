@@ -235,6 +235,25 @@ def main():
     # to chunk*4 — at 32k chunks cap 8 does NOT: min(2^18, 32k*8) = 2^18)
     trainer.set_render_cap(4)
     render_fast_s, psnr_fast_vs_full, fstats = _timed_fast(0.42)
+
+    # interactive tier: adaptive HALF-resolution render (the reference
+    # viewer's interaction-time lever, ns_viewer/server/viewer_utils.py:657)
+    # + cap 4 + coarse 64-step ladder, bilinear-upsampled to the full frame.
+    # Cost scales with shaded slots (hit_rays * cap), so scale 2 is ~3x the
+    # cap-4 tier; PSNR vs the full render is reported alongside.
+    inter_scale = 1 if smoke else 2
+    trainer.set_render_cap(4, n_sample=64)
+    inter, istats = trainer.render_image_interactive(
+        sample, scale=inter_scale, chunk_rays=render_chunk, hit_frac=0.42)  # compile
+    ti = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        inter, istats = trainer.render_image_interactive(
+            sample, scale=inter_scale, chunk_rays=render_chunk, hit_frac=0.42)
+        ti.append(time.perf_counter() - t0)
+    render_inter_s = min(ti)
+    mse_i = float(np.mean((np.asarray(inter["rgb"]) - np.asarray(imgs["rgb"])) ** 2))
+    psnr_inter_vs_full = float(-10.0 * np.log10(max(mse_i, 1e-12)))
     trainer.set_render_cap(render_cap)
 
     ref_total_rays = 50000 * 4096
@@ -332,6 +351,10 @@ def main():
         "psnr_fast_vs_full": round(psnr_fast_vs_full, 2),
         "fast_hit_frac": round(fstats["hit_frac"], 3),
         "fast_clipped_rays": int(fstats["clipped_rays"]),
+        "render_interactive_{}px_ms".format(render_wh): round(render_inter_s * 1e3, 1),
+        "render_fps_{}px_interactive".format(render_wh): round(1.0 / render_inter_s, 3),
+        "psnr_interactive_vs_full": round(psnr_inter_vs_full, 2),
+        "interactive_scale": inter_scale,
         "proj_min_ngp_50kx4096": round(proj_min_ref_workload, 1),
         **recipe,
     }))

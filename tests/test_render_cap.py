@@ -121,6 +121,37 @@ def test_render_image_fast_matches_full():
         np.testing.assert_allclose(np.asarray(fast["mask"]).reshape(-1)[miss], 0.0, atol=1e-6)
 
 
+def test_render_image_interactive_upsample():
+    """render_image_interactive: stride-subgrid render + bilinear upsample
+    must return full-frame shapes, stay a close approximation of the full
+    render, and pass scale-1 straight through to the fast path."""
+    with tempfile.TemporaryDirectory() as d:
+        trainer = _tiny_trainer(d)
+        for ep in range(24):
+            trainer.train_steps(ep, 1)
+        from arcnerf_tpu.datasets import get_dataset
+
+        cfgs = load_configs(CFG)
+        update_configs_by_dotlist(cfgs, ["--name", "inter_ds",
+                                         "--dataset.val.n_imgs", "1",
+                                         "--dataset.val.wh", "[32,32]"])
+        s = get_dataset(cfgs.dataset, "data", mode="val")[0]
+
+        trainer.set_render_cap(8)
+        full = trainer.render_image(s, chunk_rays=256)
+        inter, stats = trainer.render_image_interactive(s, scale=2, chunk_rays=256, hit_frac=0.6)
+        assert inter["rgb"].shape == full["rgb"].shape
+        assert stats["scale"] == 2 and stats["shaded_rays"] == 16 * 16
+        assert np.isfinite(inter["rgb"]).all()
+        mse = float(np.mean((inter["rgb"] - full["rgb"]) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        assert psnr > 14.0, "half-res upsampled render too far from full: {:.2f} dB".format(psnr)
+
+        one, stats1 = trainer.render_image_interactive(s, scale=1, chunk_rays=256, hit_frac=0.6)
+        fast, _ = trainer.render_image_fast(s, chunk_rays=256, hit_frac=0.6)
+        np.testing.assert_allclose(one["rgb"], fast["rgb"], atol=1e-6)
+
+
 def test_render_eval_n_sample_override():
     """set_render_cap(cap, n_sample=...) must render at a coarser
     inference ladder (fewer fix-step samples), retrace, and stay a close
