@@ -223,6 +223,7 @@ class ArcNerfTrainer:
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._render_scan = jax.jit(self._render_scan_impl)
         self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
+        self._fast_fused = jax.jit(self._fast_fused_impl, static_argnums=(4, 5, 6))
         self._optimize_warmup = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, True))
         self._optimize_regular = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, False))
 
@@ -249,6 +250,9 @@ class ArcNerfTrainer:
         # get_obj_bound() builds a bound carrying the new cap
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._render_scan = jax.jit(self._render_scan_impl)
+        self._fast_fused = jax.jit(self._fast_fused_impl, static_argnums=(4, 5, 6))
+        # the fused fast path traces the prepass ladder too (eval_n_sample)
+        self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
 
     # ----------------------------------------------------------------- data
     def prepare_data(self):
@@ -712,7 +716,46 @@ class ArcNerfTrainer:
             hit = occ_hit if hit is None else (hit & occ_hit)
         return hit
 
-    def render_image_fast(self, sample, chunk_rays=None, bkg_color=None, hit_frac=0.5, n_probe=0):
+    def _fast_fused_impl(self, params, bound_state, feed, miss_rgb, n_probe, n_chunks, chunk):
+        """One-dispatch fast render: prepass -> ray budget select -> scan
+        render -> scatter into the flat image, all on device. The host
+        path pays two tunnel dispatches (prepass, scan) plus nonzero/pad/
+        composite over every ray per frame; fused, a frame is ONE jitted
+        call whose host work is reshaping the result."""
+        rays_o, rays_d = feed["rays_o"], feed["rays_d"]
+        n = rays_o.shape[0]
+        hit = self._hit_prepass_impl(bound_state, rays_o, rays_d, n_probe)
+        if hit is None:
+            hit = jnp.ones((n,), bool)
+        budget = n_chunks * chunk
+        # first-`budget` hit rays by ray order: rank element-scatter (same
+        # form as fg_model._compact_sel, over rays instead of samples)
+        g = jnp.cumsum(hit.astype(jnp.int32)) - 1
+        g = jnp.where(hit, jnp.clip(g, 0, budget), budget)
+        sel = jnp.zeros((budget + 1,), jnp.int32).at[g].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:budget]
+        n_hit = jnp.sum(hit.astype(jnp.int32))
+        sel_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(n_hit, budget)
+
+        stack = {
+            k: jnp.take(v, sel, axis=0).reshape((n_chunks, 1, chunk) + v.shape[1:])
+            for k, v in feed.items()
+        }
+        outs = self._render_scan_impl(params, bound_state, stack)
+
+        sel_safe = jnp.where(sel_valid, sel, n)  # invalid rows -> pad slot
+        imgs = {}
+        for k, v in outs.items():
+            flat = v.reshape((budget,) + v.shape[3:])
+            if k == "rgb":
+                init = jnp.broadcast_to(miss_rgb, (n + 1, 3)).astype(flat.dtype)
+            else:
+                init = jnp.zeros((n + 1,) + flat.shape[1:], flat.dtype)
+            imgs[k] = init.at[sel_safe].set(flat)[:n]
+        return imgs, n_hit
+
+    def render_image_fast(self, sample, chunk_rays=None, bkg_color=None, hit_frac=0.5, n_probe=0,
+                          fused=None):
         """Interactive-mode full-image render: the occupancy pre-pass
         compacts the rays that can hit anything into a FIXED budget of
         ``hit_frac * n`` rays (static chunk count -> no per-frame
@@ -735,6 +778,37 @@ class ArcNerfTrainer:
         chunk_rays = self._chunk_for_mesh(chunk_rays)  # incl. budget/cap clamp
         h, w = int(sample["H"]), int(sample["W"])
         n = sample["rays_o"].shape[0]
+
+        # fused single-dispatch path: default on a single device (the
+        # sharded eval path shards ray chunks across the mesh; the fused
+        # select is a global cumsum, so multi-device keeps the host path)
+        if fused is None:
+            fused = self.mesh.devices.size == 1
+        if fused:
+            budget = max(chunk_rays, int(-(-(n * hit_frac) // chunk_rays)) * chunk_rays)
+            n_chunks = budget // chunk_rays
+            feed = {}
+            for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+                if k in sample and sample[k] is not None:
+                    feed[k] = jnp.asarray(np.asarray(sample[k]))
+            if bkg_color is not None:
+                feed["bkg_color"] = jnp.broadcast_to(
+                    jnp.asarray(bkg_color, dtype=jnp.float32), (n, 3))
+            if bkg_color is not None:
+                miss = np.asarray(bkg_color, dtype=np.float32)
+            elif self.model.fg_model.get_ray_cfgs("white_bkg"):
+                miss = np.ones(3, dtype=np.float32)
+            else:
+                miss = np.zeros(3, dtype=np.float32)
+            flat, n_hit = self._fast_fused(
+                self.eval_params(), self.state["bound_state"], feed,
+                jnp.asarray(miss), n_probe, n_chunks, chunk_rays)
+            n_hit = int(n_hit)
+            imgs = {k: np.asarray(v).reshape((h, w) + v.shape[1:]) for k, v in flat.items()}
+            stats = {"hit_frac": n_hit / max(n, 1), "budget_rays": budget,
+                     "clipped_rays": max(0, n_hit - budget)}
+            return imgs, stats
+
         rays_o = jnp.asarray(np.asarray(sample["rays_o"]))
         rays_d = jnp.asarray(np.asarray(sample["rays_d"]))
         hit = self._hit_prepass(self.state["bound_state"], rays_o, rays_d, n_probe)

@@ -110,6 +110,16 @@ def test_render_image_fast_matches_full():
         full = trainer.render_image(s, chunk_rays=256)
         fast, stats = trainer.render_image_fast(s, chunk_rays=256, hit_frac=0.6)
 
+        # the fused single-dispatch path must match the host path exactly
+        # (same prepass, same first-budget rays, same scan program)
+        fused, fstats = trainer.render_image_fast(s, chunk_rays=256, hit_frac=0.6, fused=True)
+        host, hstats = trainer.render_image_fast(s, chunk_rays=256, hit_frac=0.6, fused=False)
+        for k in host:
+            np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(host[k]), atol=1e-6,
+                                       err_msg="fused/host mismatch on {}".format(k))
+        assert fstats["hit_frac"] == hstats["hit_frac"]
+        assert fstats["clipped_rays"] == hstats["clipped_rays"]
+
         assert fast["rgb"].shape == full["rgb"].shape
         assert 0.0 < stats["hit_frac"] <= 1.0
         if stats["clipped_rays"] == 0:
