@@ -28,18 +28,24 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "expr")
 FAMILIES = {
     "nerf": ("synthetic_nerf.yaml", ["--progress.epoch", "300"], 17.5),
     "ngp": ("synthetic_ngp.yaml", [
-        "--progress.epoch", "600", "--progress.epoch_val", "-1",
+        "--progress.epoch", "400", "--progress.epoch_val", "-1",
         "--dataset.train.n_imgs", "10", "--dataset.train.wh", "[80,80]",
         "--dataset.val.n_imgs", "4", "--dataset.val.wh", "[80,80]",
         "--model.geometry.encoder.hashmap_size", "15",
         "--model.geometry.encoder.n_levels", "8",
         "--model.obj_bound.volume.n_grid", "32",
         "--model.rays.n_sample", "64",
+        # 2^16 point budget + early occupancy: the old 2^18 budget ran the
+        # full 4096x64 sample grid through the encoder every step — 14.5
+        # s/iter on the 1-core CI host, which timed the 600-epoch bar out
+        # of the suite entirely (2x 2h+ aborted runs, golden_suite r3)
+        "--model.obj_bound.log_max_allowance", "16",
+        "--model.obj_bound.epoch_optim_warmup", "64",
         # pinned ray bucket: the dynamic ladder costs one XLA compile per
         # bucket growth, which dominated the old ~2 h suite wall time
         "--n_rays", "4096",
         "--dataset.train.scheduler.dynamic_batch_size.update_epoch", "1000000",
-    ], 23.5),
+    ], 23.0),
     "neus": ("synthetic_neus.yaml", [
         "--progress.epoch", "400", "--progress.epoch_val", "-1",
         "--dataset.val.n_imgs", "4", "--progress.max_samples_val", "4",
