@@ -27,6 +27,7 @@ class ArcNerfViewerTrainer(ArcNerfTrainer):
             train_state_info={"step": 0},
             scene_graph=build_scene_graph(src, bounds=bounds),
             control=self.viewer_control,
+            render_image_fn=self._viewer_render_image,
         )
         run_viewer(self.viewer_state, port, in_thread=True)
 
@@ -49,6 +50,15 @@ class ArcNerfViewerTrainer(ArcNerfTrainer):
     def _viewer_render_fn(self, feed):
         # always render with the live params
         return self._render_chunk(self.state["params"], self.state["bound_state"], feed)
+
+    def _viewer_render_image(self, sample):
+        """Whole-frame viewer render through the fused occupancy-compacted
+        fast path (one device dispatch per frame). The viewer's resolution
+        ladder keeps shapes static, so each ladder step compiles once."""
+        n = sample["rays_o"].shape[0]
+        chunk = min(8192, max(self.mesh.devices.size, n))
+        imgs, _ = self.render_image_fast(sample, chunk_rays=chunk, hit_frac=0.6)
+        return imgs
 
     def epoch_hook(self, epoch, stats):
         """Per-stride: publish progress to the viewer and honour pause

@@ -105,8 +105,13 @@ class ViewerState:
     RES_LADDER = (64, 128, 256, 512)
 
     def __init__(self, render_chunk_fn, intrinsic, wh, chunk_rays=8192, train_state_info=None,
-                 scene_graph=None, control=None):
+                 scene_graph=None, control=None, render_image_fn=None):
         self.render_chunk_fn = render_chunk_fn
+        # optional whole-frame fast path: sample dict -> imgs dict. The
+        # trainer passes its fused occupancy-compacted renderer here
+        # (trainer.render_image_fast: ONE device dispatch per frame vs
+        # render_full_image's host-chunked loop).
+        self.render_image_fn = render_image_fn
         self.intrinsic = np.asarray(intrinsic, dtype=np.float64)
         self.W, self.H = wh
         self.chunk_rays = chunk_rays
@@ -144,7 +149,10 @@ class ViewerState:
         sample = {"rays_o": np.asarray(ro), "rays_d": np.asarray(rd), "rays_r": np.asarray(rr),
                   "H": h, "W": w}
         with self._lock:
-            imgs = render_full_image(self.render_chunk_fn, sample, self.chunk_rays)
+            if self.render_image_fn is not None:
+                imgs = self.render_image_fn(sample)
+            else:
+                imgs = render_full_image(self.render_chunk_fn, sample, self.chunk_rays)
         return colorize_output(imgs, mode)
 
     def render_jpeg_b64(self, c2w, res=128, quality=80, mode="rgb"):

@@ -57,6 +57,35 @@ def test_render_modes():
     assert np.array_equal(state.render_pose(c2w, res=64, mode="normal"), rgb)
 
 
+def test_render_image_fn_fast_path():
+    """A whole-frame render_image_fn (the trainer's fused fast path) must
+    take precedence over the chunked renderer and feed the same colorize
+    pipeline."""
+    calls = {}
+
+    def fake_render_image(sample):
+        h, w = sample["H"], sample["W"]
+        calls["shape"] = (h, w)
+        rays_d = np.asarray(sample["rays_d"]).reshape(h, w, 3)
+        return {"rgb": (rays_d + 1.0) / 2.0,
+                "depth": 1.0 + rays_d[..., 0],
+                "mask": (rays_d[..., 2] > 0.99).astype(np.float32)}
+
+    intrinsic = np.array([[100.0, 0, 64.0], [0, 100.0, 64.0], [0, 0, 1]])
+
+    def boom(feed):  # the chunked path must NOT be used
+        raise AssertionError("chunked renderer called despite render_image_fn")
+
+    state = ViewerState(boom, intrinsic, (128, 128), chunk_rays=2048,
+                        render_image_fn=fake_render_image)
+    c2w = look_at(np.array([0.0, 0.0, -2.5]), np.zeros(3))
+    frame = state.render_pose(c2w, res=128)
+    assert frame.shape == (128, 128, 3) and frame.dtype == np.uint8
+    assert calls["shape"] == (128, 128)
+    c = frame[64, 64]
+    assert abs(int(c[0]) - 127) < 12 and int(c[2]) > 240
+
+
 def test_websocket_roundtrip():
     websockets = pytest.importorskip("websockets")
     state = make_state()
