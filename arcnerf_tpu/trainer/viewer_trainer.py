@@ -22,12 +22,19 @@ class ArcNerfViewerTrainer(ArcNerfTrainer):
         src = self.data.get("val") or self.data["train"]
         bounds = self._scene_bounds()
         self.viewer_control = TrainControl()
+        import os
+
         self.viewer_state = ViewerState(
             self._viewer_render_fn, src.get_intrinsic(), (src.W, src.H),
             train_state_info={"step": 0},
             scene_graph=build_scene_graph(src, bounds=bounds),
             control=self.viewer_control,
             render_image_fn=self._viewer_render_image,
+            save_dir=self.expr_dir,
+            export_info={
+                "configs": os.path.join(self.expr_dir, "cfgs.yaml"),
+                "checkpoint": os.path.join(self.ckpt_dir, "latest.ckpt"),
+            },
         )
         run_viewer(self.viewer_state, port, in_thread=True)
 

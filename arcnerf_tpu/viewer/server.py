@@ -105,8 +105,15 @@ class ViewerState:
     RES_LADDER = (64, 128, 256, 512)
 
     def __init__(self, render_chunk_fn, intrinsic, wh, chunk_rays=8192, train_state_info=None,
-                 scene_graph=None, control=None, render_image_fn=None):
+                 scene_graph=None, control=None, render_image_fn=None, save_dir=None,
+                 export_info=None):
         self.render_chunk_fn = render_chunk_fn
+        # where client-authored camera paths get written (reference
+        # _check_camera_path_payload, ns_viewer/server/viewer_utils.py:323)
+        self.save_dir = save_dir or "."
+        # config/checkpoint paths for the export-command panel (reference
+        # app ExportPanel generates CLI commands the user copies)
+        self.export_info = export_info or {}
         # optional whole-frame fast path: sample dict -> imgs dict. The
         # trainer passes its fused occupancy-compacted renderer here
         # (trainer.render_image_fast: ONE device dispatch per frame vs
@@ -163,6 +170,40 @@ class ViewerState:
         assert ok
         return base64.b64encode(buf.tobytes()).decode()
 
+    def save_camera_path(self, c2ws, filename="viewer_camera_path.json"):
+        """Write a client-authored camera path as the nerfstudio-style json
+        the Inferencer's custom render mode consumes (reference
+        viewer_utils.py:323-334 _check_camera_path_payload; our
+        Inferencer.read_json_cam). Returns the written path."""
+        filename = os.path.basename(filename) or "viewer_camera_path.json"
+        path = os.path.join(self.save_dir, filename)
+        payload = {"camera_path": [
+            {"camera_to_world": np.asarray(m, dtype=np.float64).reshape(16).tolist()}
+            for m in c2ws
+        ]}
+        os.makedirs(self.save_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(payload, f)
+        return path
+
+    def export_commands(self, path_file=None):
+        """CLI command strings for mesh/pointcloud extraction and video
+        render from the current run (reference app ExportPanel: the panel
+        emits copy-paste commands rather than running the export in-app)."""
+        cfg = self.export_info.get("configs", "<configs.yaml>")
+        ckpt = self.export_info.get("checkpoint", "<checkpoints/latest.ckpt>")
+        cmds = {
+            "mesh+pointcloud": "python inference.py --configs {} --resume {} "
+                               "--inference.volume.n_grid 256".format(cfg, ckpt),
+            "video": "python inference.py --configs {} --resume {} "
+                     "--inference.render.type circle --inference.render.n_cam 30".format(cfg, ckpt),
+        }
+        if path_file:
+            cmds["video_custom_path"] = (
+                "python inference.py --configs {} --resume {} "
+                "--inference.render.type custom --inference.render.custom_path {}".format(cfg, ckpt, path_file))
+        return cmds
+
 
 def make_app(state):
     import tornado.web
@@ -197,6 +238,19 @@ def make_app(state):
                         "type": "control",
                         "paused": bool(state.control is not None and state.control.paused),
                     }))
+                    return
+                if kind == "save_path":
+                    c2ws = [np.asarray(m, dtype=np.float64).reshape(4, 4)
+                            for m in msg["camera_path"]]
+                    path = state.save_camera_path(c2ws, msg.get("filename", "viewer_camera_path.json"))
+                    self.write_message(json.dumps({
+                        "type": "saved_path", "path": path, "n_frames": len(c2ws),
+                        "commands": state.export_commands(path_file=path),
+                    }))
+                    return
+                if kind == "export":
+                    self.write_message(json.dumps(
+                        {"type": "export", "commands": state.export_commands()}))
                     return
                 c2w = np.asarray(msg["c2w"], dtype=np.float64).reshape(4, 4)
                 res = int(msg.get("res", 128))

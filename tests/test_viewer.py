@@ -172,3 +172,43 @@ def test_train_control_gates_trainer():
     control.resume()
     t.join(timeout=5)
     assert seen == [0, 1, 2]
+
+
+def test_save_camera_path_and_export(tmp_path):
+    """Camera-path save (nerfstudio-style json the Inferencer's custom mode
+    reads back) + export-command panel round trip over the websocket
+    (reference app CameraPanel/ExportPanel; viewer_utils.py:323-334)."""
+    websockets = pytest.importorskip("websockets")
+    from arcnerf_tpu.evaluation.infer_func import Inferencer
+
+    state = make_state()
+    state.save_dir = str(tmp_path)
+    state.export_info = {"configs": "cfg.yaml", "checkpoint": "ck.ckpt"}
+    port = 17975
+    run_viewer(state, port=port, in_thread=True)
+    time.sleep(1.0)
+
+    mats = [look_at(np.array([0.0, 0.0, -2.5]), np.zeros(3)).tolist(),
+            look_at(np.array([2.5, 0.0, 0.0]), np.zeros(3)).tolist()]
+
+    async def roundtrip():
+        import websockets
+
+        async with websockets.connect("ws://localhost:{}/ws".format(port)) as ws:
+            await ws.send(json.dumps({"type": "save_path", "camera_path": mats,
+                                      "filename": "p.json"}))
+            saved = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+            await ws.send(json.dumps({"type": "export"}))
+            export = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+            return saved, export
+
+    saved, export = asyncio.run(roundtrip())
+    assert saved["type"] == "saved_path" and saved["n_frames"] == 2
+    # the saved json is directly consumable by the inference custom path
+    c2ws = Inferencer.read_json_cam(saved["path"])
+    np.testing.assert_allclose(c2ws, np.asarray(mats), atol=1e-12)
+    assert "video_custom_path" in saved["commands"]
+    assert saved["path"] in saved["commands"]["video_custom_path"]
+    assert export["type"] == "export"
+    assert "cfg.yaml" in export["commands"]["video"]
+    assert "ck.ckpt" in export["commands"]["mesh+pointcloud"]
