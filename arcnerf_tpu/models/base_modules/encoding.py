@@ -17,6 +17,7 @@ All encoders expose ``out_dim`` and ``__call__(x) -> (B, out_dim)``.
 """
 
 import math
+import os
 from functools import partial
 from typing import Any, Sequence, Tuple
 
@@ -286,6 +287,23 @@ def _fused_row_offsets(spec):
     return offs, cpr
 
 
+# Coarse-level backward form: levels whose overlapped-row table has at
+# most this many rows compute their gradient as a one-hot MATMUL
+# (g_rows = E^T @ upd, E = (rl[:, None] == iota(R))) instead of a row
+# scatter-add. The scatter's per-index cost (~10 ns/row) is flat in R,
+# so tiny dense levels pay the same tax as the 2^19 hash levels; the
+# matmul rides the MXU at FLOP cost K*R*128*2. Measured per dense level
+# at bench shapes (scripts/gate_mm_bwd.py, v5e): scatter ~7 ms vs mm
+# ~2-4 ms above the dispatch floor, ~18 ms/step across the 5 dense
+# levels; crossover near R ~ 3000. TPU numerics: default-precision f32
+# matmul runs bf16 passes, rounding each update term to bf16 before the
+# f32 accumulation (max rel err ~2e-3 vs exact scatter — the tcnn
+# half-precision grad-accumulation regime); quality-gated like
+# pair_hash (scripts/gate_mm_bwd.sh). Set ARCNERF_MM_BWD=0 to force the
+# exact scatter everywhere (CPU matmuls are exact f32 either way).
+_MM_BWD_MAX_R = int(os.environ.get("ARCNERF_MM_BWD", "2048"))
+
+
 # The fused lookup merges ALL levels into one flat (N = L*4*B,) index
 # stream; its gather output is (N, 128). Above this row cap the stream is
 # processed in lax.map/scan chunks so no single buffer exceeds ~1 GB bf16
@@ -372,9 +390,11 @@ def _hash_lookup_fused_fwd(spec, table, pair_idx, w):
 
 
 def _hash_lookup_fused_bwd(spec, resid, g):
-    """g (F, L, B) -> table grad (L, T, F): PER-LEVEL row scatter-adds of
-    w*g-valued one-hot rows into the overlapped layout, then per-level
-    overlap fold (slice arithmetic, no gather).
+    """g (F, L, B) -> table grad (L, T, F): PER-LEVEL row accumulation of
+    w*g-valued one-hot rows into the overlapped layout — a row scatter-add
+    for large levels, a one-hot MATMUL for levels with R <= _MM_BWD_MAX_R
+    rows (the coarse dense levels; see that constant's note) — then a
+    per-level overlap fold (slice arithmetic, no gather).
 
     Per-level (not one merged scatter) is a measured choice: at the bench
     shapes (N = 16.7M) the 16 per-level (4B, 128) scatters run 2x faster
@@ -390,12 +410,23 @@ def _hash_lookup_fused_bwd(spec, resid, g):
     B = pair_idx.shape[2]
     Nl = 4 * B
 
-    def scatter_rows(g_rows, rl_c, lane0_c, wz0_c, wz1_c, gf_c):
+    def build_upd(rl_c, lane0_c, wz0_c, wz1_c, gf_c):
         lanes = jax.lax.broadcasted_iota(jnp.int32, (rl_c.shape[0], 128), 1)
         upd = jnp.zeros((rl_c.shape[0], 128), jnp.float32)
         for f in range(F):
             upd = upd + jnp.where(lanes == (lane0_c + f)[:, None], (wz0_c * gf_c[f])[:, None], 0.0)
             upd = upd + jnp.where(lanes == (lane0_c + F + f)[:, None], (wz1_c * gf_c[f])[:, None], 0.0)
+        return upd
+
+    def accum_rows(g_rows, rl_c, lane0_c, wz0_c, wz1_c, gf_c):
+        upd = build_upd(rl_c, lane0_c, wz0_c, wz1_c, gf_c)
+        R = g_rows.shape[0]
+        if R <= _MM_BWD_MAX_R:  # one-hot matmul form (see _MM_BWD_MAX_R)
+            e = (rl_c[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (rl_c.shape[0], R), 1)).astype(jnp.float32)
+            return g_rows + jax.lax.dot_general(
+                e, upd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return g_rows.at[rl_c].add(upd)
 
     grads = []
@@ -409,7 +440,7 @@ def _hash_lookup_fused_bwd(spec, resid, g):
         gf = jnp.stack([jnp.broadcast_to(g[f, l][None], (4, B)).reshape(-1) for f in range(F)])
         g_rows0 = jnp.zeros((R, 128), jnp.float32)
         if Nl <= _FUSED_CHUNK_ROWS:
-            g_rows = scatter_rows(g_rows0, rl, lane0, wz0, wz1, gf)
+            g_rows = accum_rows(g_rows0, rl, lane0, wz0, wz1, gf)
         else:
             n_chunks, ch, pad = _fused_chunk_split(Nl)
 
@@ -422,7 +453,7 @@ def _hash_lookup_fused_bwd(spec, resid, g):
             xs = tuple(padc(x).reshape(n_chunks, ch) for x in (rl, lane0, wz0, wz1))
             gf_c = padc(gf).reshape(F, n_chunks, ch).transpose(1, 0, 2)
             g_rows, _ = jax.lax.scan(
-                lambda gr, c: (scatter_rows(gr, *c), None), g_rows0, xs + (gf_c,))
+                lambda gr, c: (accum_rows(gr, *c), None), g_rows0, xs + (gf_c,))
         g4 = g_rows.reshape(R, cpr + 1, F)
         main = g4[:, :cpr].reshape(R * cpr, F)
         extra = g4[:, cpr]  # canonical entries cpr*(r+1)

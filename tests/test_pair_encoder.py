@@ -337,3 +337,25 @@ def test_fused_lookup_chunked_matches_single_shot(monkeypatch):
     monkeypatch.setattr(enc_mod, "_FUSED_CHUNK_ROWS", 96)  # exact division, no pad
     out3 = enc_mod._hash_lookup_fused(spec, table, pair_idx, w)
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out1), rtol=1e-6, atol=1e-6)
+
+
+def test_fused_mm_bwd_matches_scatter(monkeypatch):
+    """The one-hot-matmul coarse-level backward (_MM_BWD_MAX_R /
+    ARCNERF_MM_BWD) must reproduce the exact row scatter-add: force each
+    path via the threshold and compare (CPU f32 matmuls are exact up to
+    summation order)."""
+    import arcnerf_tpu.models.base_modules.encoding as enc
+
+    spec, table, pair_idx, w = _all_paired_case(seed=11)
+    (L, T, F), _, _, _, _ = spec
+    B = pair_idx.shape[2]
+    g = jnp.asarray(np.random.default_rng(13).normal(size=(F, L, B)).astype(np.float32))
+
+    def loss(t):
+        return jnp.sum(enc._hash_lookup_fused(spec, t, pair_idx, w) * g)
+
+    monkeypatch.setattr(enc, "_MM_BWD_MAX_R", 0)
+    g_scatter = jax.grad(loss)(table)
+    monkeypatch.setattr(enc, "_MM_BWD_MAX_R", 1 << 30)
+    g_mm = jax.grad(loss)(table)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_scatter), rtol=1e-5, atol=1e-6)
