@@ -133,16 +133,16 @@ _hash_lookup_rowform.defvjp(_hash_lookup_rowform_fwd, _hash_lookup_rowform_bwd)
 def _pair_layout(spec):
     """Static helpers for the overlapped-row pair layout.
 
-    spec carries (shape, gather_dtype, res, dense_ok, pair_hash). A level is
-    PAIRED when its two z-corners are adjacent table entries (dense layout
-    has z minor-most; pair_hash makes hashed levels z-additive): one row
-    gather then serves both corners of each (x, y) combination — 4 gathers
-    per point per level instead of 8. Rows overlap by one entry (row r =
-    entries [CPR*r, CPR*r + CPR], CPR = 128/F - 1) so a pair (e, e+1) never
-    crosses a row. Measured: gather cost is per-INDEX (~4-6 ns/row,
-    probe_pair_gather.py), so paired levels cut the encoder's dominant term
-    roughly in half."""
-    (L, T, F), _, res, dense_ok, pair_hash = spec
+    spec carries (shape, gather_dtype, res, dense_ok, pair_hash[, quad]).
+    A level is PAIRED when its two z-corners are adjacent table entries
+    (dense layout has z minor-most; pair_hash makes hashed levels
+    z-additive): one row gather then serves both corners of each (x, y)
+    combination — 4 gathers per point per level instead of 8. Rows overlap
+    by one entry (row r = entries [CPR*r, CPR*r + CPR], CPR = 128/F - 1)
+    so a pair (e, e+1) never crosses a row. Measured: gather cost is
+    per-INDEX (~4-6 ns/row, probe_pair_gather.py), so paired levels cut
+    the encoder's dominant term roughly in half."""
+    (L, T, F), _, res, dense_ok, pair_hash = spec[:5]
     epr = 128 // F
     cpr = epr - 1
     paired = [bool(d) or bool(pair_hash) for d in dense_ok]
@@ -182,7 +182,7 @@ def _hash_lookup_paired(spec, table, pair_idx, single_idx):
     single_idx (n_single, 8, B): per-corner entries for the remaining
     levels. -> feats (F, L, 8, B) f32, corners in _CORNER_OFFSETS order
     (z-outer: corners 0-3 are z0, 4-7 are z1 of the same (x, y))."""
-    (L, T, F), gather_dtype, res, dense_ok, pair_hash = spec
+    (L, T, F), gather_dtype, res, dense_ok, pair_hash = spec[:5]
     epr, cpr, paired, n_entries = _pair_layout(spec)
     B = pair_idx.shape[2] if pair_idx.size else single_idx.shape[2]
     out_levels = []
@@ -229,7 +229,7 @@ def _hash_lookup_paired_bwd(spec, resid, g):
     one-hot PAIR rows into the overlapped layout then fold the overlap
     column back onto its canonical entry (slice arithmetic, no gather)."""
     pair_idx, single_idx = resid
-    (L, T, F), _, res, dense_ok, pair_hash = spec
+    (L, T, F), _, res, dense_ok, pair_hash = spec[:5]
     epr, cpr, paired, n_entries = _pair_layout(spec)
     grads = []
     pi = si = 0
@@ -278,11 +278,47 @@ def _hash_lookup_paired_bwd(spec, resid, g):
 _hash_lookup_paired.defvjp(_hash_lookup_paired_fwd, _hash_lookup_paired_bwd)
 
 
+# QUAD packing (hashed levels, r3c): a hash additive in y (stride
+# _QUAD_SY) and z (stride 1) puts all four (dy, dz) corners of a point
+# within a 33-entry span, so stride-32 overlapped rows (row r = entries
+# [32r, 32r+63], each row = two aligned 32-entry halves) serve 4 corners
+# with ONE gather — 2 indices/point/level vs 4 paired. Measured at bench
+# shapes (scripts/probe_quad.py, v5e): fwd 85.3 -> 60.1 ms over the 11
+# hashed levels; bwd is scatter-bound at a flat ~10 ms/level either way
+# (probe_bwd_decomp.py: scatter 9.6 ms/level independent of index count).
+# The overlap fold in the backward is pure slice arithmetic: each row's
+# two halves slice-add into consecutive half-slots. Like pair_hash this
+# changes the collision structure ((x*p1) + y*SY + z mod T — cells
+# (y+1, z) and (y, z+SY) alias), so it is quality-gated
+# (scripts/gate_quad_hash.sh) before becoming a default.
+_QUAD_SY = 31
+_QUAD_STRIDE = 32
+
+
+def _quad_levels(spec):
+    """Per-level quad flags from a 6-field spec (False for 5-field)."""
+    (L, _, _), _, _, dense_ok, _ = spec[:5]
+    quad_hash = spec[5] if len(spec) > 5 else False
+    return [(not bool(dense_ok[l])) and bool(quad_hash) for l in range(L)]
+
+
+def _pack_quad_rows(table_l, T, F, gather_dtype):
+    """(T, F) level table -> (T//32, 128/F-entry) stride-32 overlapped rows
+    (row r = entries [32r, 32r+63]); built with slices/reshape only. Only
+    valid for F=2 (64 entries/row); entry e's quad span [e, e+SY+1] stays
+    inside row e//32 because (e%32) + 32 <= 63."""
+    R = T // _QUAD_STRIDE
+    can = jnp.concatenate([table_l, table_l[:_QUAD_STRIDE]], axis=0)  # wrap pad
+    h = can.reshape(R + 1, _QUAD_STRIDE * F)
+    return jnp.concatenate([h[:R], h[1 : R + 1]], axis=1).astype(gather_dtype)
+
+
 def _fused_row_offsets(spec):
     """Per-level row offsets into the concatenated overlapped-row table."""
-    (L, T, F), _, res, dense_ok, pair_hash = spec
+    (L, T, F), _, res, dense_ok, pair_hash = spec[:5]
     _, cpr, _, n_entries = _pair_layout(spec)
-    sizes = [-(-n_entries[l] // cpr) for l in range(L)]
+    quad = _quad_levels(spec)
+    sizes = [T // _QUAD_STRIDE if quad[l] else -(-n_entries[l] // cpr) for l in range(L)]
     offs = np.cumsum([0] + sizes)
     return offs, cpr
 
@@ -319,17 +355,79 @@ def _fused_chunk_split(n):
     return n_chunks, ch, n_chunks * ch - n
 
 
-def _fused_gather_extract(rows_all, ridx, lane0, wz0, wz1, F):
-    """One chunk of the fused lookup: row gather + weight-folded lane
-    extraction. -> (F, n) per-feature interpolated partial sums."""
-    r = jnp.take(rows_all, ridx, axis=0).astype(jnp.float32)  # (n, 128)
+# One-hot-matmul FORWARD row fetch: dense levels with at most this many
+# overlapped rows fetch their (n, 128) gathered-rows tensor as
+# E @ rows (E = one-hot of ridx, bf16) instead of jnp.take. EXACT: rows
+# hold bf16 values and E is 0/1, so the TPU's default bf16 matmul pass
+# is lossless (one bf16 term per output, f32-accumulated) — unlike the
+# backward mm no quality gate is needed. Measured in-jit over the 5
+# dense levels (probe_bwd_decomp.py): take 36.2 ms vs all-mm 33.4 ms —
+# the win concentrates at small R (FLOP cost = n*R*256), hence the cap.
+# Env ARCNERF_MM_FWD overrides; 0 disables.
+_MM_FWD_MAX_R = int(os.environ.get("ARCNERF_MM_FWD", "1263"))
+
+
+def _fetch_rows(rows_all, ridx, mm):
+    """(R, 128) rows + (n,) row ids -> (n, 128) f32 rows, via one-hot
+    matmul when ``mm`` (static) else row gather."""
+    if mm:
+        R = rows_all.shape[0]
+        e = (ridx[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (ridx.shape[0], R), 1)).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            e, rows_all.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return jnp.take(rows_all, ridx, axis=0).astype(jnp.float32)
+
+
+def _fused_gather_extract(rows_all, ridx, lane0, ws, offs, F, mm=False):
+    """One chunk of the fused lookup: row fetch + weight-folded lane
+    extraction at the static per-corner lane offsets ``offs`` (pair:
+    (0, F); quad: ((cy*SY+cz)*F, ...)). ``ws`` is the matching tuple of
+    per-corner weight vectors. -> (F, n) interpolated partial sums."""
+    r = _fetch_rows(rows_all, ridx, mm)  # (n, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
     outs = []
     for f in range(F):
-        m = jnp.where(lanes == (lane0 + f)[:, None], wz0[:, None], 0.0) \
-            + jnp.where(lanes == (lane0 + F + f)[:, None], wz1[:, None], 0.0)
+        m = 0.0
+        for w, off in zip(ws, offs):
+            m = m + jnp.where(lanes == (lane0 + off + f)[:, None], w[:, None], 0.0)
         outs.append(jnp.sum(r * m, axis=1))  # (n,)
     return jnp.stack(outs)
+
+
+def _fused_level_idx(spec, pair_idx, w, l):
+    """Per-level index pieces of the fused lookup (no table access): row
+    ids, base lanes, per-corner weight vectors + static lane offsets, the
+    mm-forward flag, and the number of gathered corners per point (4 for
+    pair levels, 2 for quad levels)."""
+    (L, T, F), _, _, dense_ok, _ = spec[:5]
+    _, cpr, _, n_entries = _pair_layout(spec)
+    if _quad_levels(spec)[l]:
+        el = pair_idx[l, :2].reshape(-1)  # (2B,) x-corner-major
+        rl = el // _QUAD_STRIDE
+        lane0 = (el % _QUAD_STRIDE) * F
+        offs = tuple((cy * _QUAD_SY + cz) * F for cy in (0, 1) for cz in (0, 1))
+        # corner (cx, cy, cz) sits at weight index cz*4 + cx*2 + cy
+        ws = tuple(jnp.concatenate([w[l, cz * 4 + cy], w[l, cz * 4 + 2 + cy]])
+                   for cy in (0, 1) for cz in (0, 1))
+        return rl, lane0, ws, offs, False, 2
+    el = pair_idx[l].reshape(-1)  # (4B,) corner-major
+    rl = el // cpr
+    lane0 = (el % cpr) * F
+    ws = (w[l, :4].reshape(-1), w[l, 4:].reshape(-1))
+    R = -(-n_entries[l] // cpr)
+    mm = bool(dense_ok[l]) and 0 < _MM_FWD_MAX_R and R <= _MM_FWD_MAX_R
+    return rl, lane0, ws, (0, F), mm, 4
+
+
+def _fused_level_rows(spec, table, l, gather_dtype):
+    """Packed overlapped rows for level ``l`` (quad or pair layout)."""
+    (L, T, F), _, _, _, _ = spec[:5]
+    _, cpr, _, n_entries = _pair_layout(spec)
+    if _quad_levels(spec)[l]:
+        return _pack_quad_rows(table[l], T, F, gather_dtype)
+    return _pack_overlap_rows(table[l], n_entries[l], cpr, F, gather_dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -355,33 +453,31 @@ def _hash_lookup_fused(spec, table, pair_idx, w):
     stop-gradient), but SDF models autodiff normals through the encoder —
     they must build their geo net with needs_input_grad=True, which sets
     HashGridEmbedder.fuse_interp=False (build_geo_model)."""
-    (L, T, F), gather_dtype, _, _, _ = spec
+    (L, T, F), gather_dtype, _, dense_ok, _ = spec[:5]
     _, cpr, _, n_entries = _pair_layout(spec)
+    quad = _quad_levels(spec)
     B = pair_idx.shape[2]
-    Nl = 4 * B
     # per-level gathers (not one merged gather over concatenated tables):
     # measured 94.1 vs 121.2 ms at the bench shapes — the per-level
     # transients schedule/free better (scripts/probe_fused_bwd.py --fwd)
     outs = []
     for l in range(L):
-        rows = _pack_overlap_rows(table[l], n_entries[l], cpr, F, gather_dtype)
-        el = pair_idx[l].reshape(-1)  # (4B,) corner-major
-        rl = el // cpr
-        lane0 = (el % cpr) * F
-        wz0 = w[l, :4].reshape(-1)
-        wz1 = w[l, 4:].reshape(-1)
+        rows = _fused_level_rows(spec, table, l, gather_dtype)
+        rl, lane0, ws, offs, mm, nc = _fused_level_idx(spec, pair_idx, w, l)
+        Nl = nc * B
         if Nl <= _FUSED_CHUNK_ROWS:
-            s = _fused_gather_extract(rows, rl, lane0, wz0, wz1, F)  # (F, 4B)
+            s = _fused_gather_extract(rows, rl, lane0, ws, offs, F, mm)  # (F, nc*B)
         else:
             n_chunks, ch, pad = _fused_chunk_split(Nl)
 
             def padc(x):  # pad with index 0 / weight 0 rows: they contribute 0
                 return jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
 
-            xs = tuple(padc(x).reshape(n_chunks, ch) for x in (rl, lane0, wz0, wz1))
-            s = jax.lax.map(lambda c: _fused_gather_extract(rows, *c, F), xs)
+            xs = tuple(padc(x).reshape(n_chunks, ch) for x in (rl, lane0) + ws)
+            s = jax.lax.map(
+                lambda c: _fused_gather_extract(rows, c[0], c[1], tuple(c[2:]), offs, F, mm), xs)
             s = s.transpose(1, 0, 2).reshape(F, n_chunks * ch)[:, :Nl]
-        outs.append(s.reshape(F, 4, B).sum(axis=1))  # (F, B)
+        outs.append(s.reshape(F, nc, B).sum(axis=1))  # (F, B)
     return jnp.stack(outs, axis=1)  # (F, L, B)
 
 
@@ -404,22 +500,23 @@ def _hash_lookup_fused_bwd(spec, resid, g):
     (scripts/probe_fused_bwd.py: merged 334.7 ms, per-level 166.4 ms,
     narrow (N,4) rows 1382.8 ms, sort+segment_sum 1736.5 ms)."""
     pair_idx, w = resid
-    (L, T, F), _, _, _, _ = spec
-    offs, cpr = _fused_row_offsets(spec)
+    (L, T, F), _, _, _, _ = spec[:5]
+    row_offs, cpr = _fused_row_offsets(spec)
     _, _, _, n_entries = _pair_layout(spec)
+    quad = _quad_levels(spec)
     B = pair_idx.shape[2]
-    Nl = 4 * B
 
-    def build_upd(rl_c, lane0_c, wz0_c, wz1_c, gf_c):
+    def build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs):
         lanes = jax.lax.broadcasted_iota(jnp.int32, (rl_c.shape[0], 128), 1)
         upd = jnp.zeros((rl_c.shape[0], 128), jnp.float32)
         for f in range(F):
-            upd = upd + jnp.where(lanes == (lane0_c + f)[:, None], (wz0_c * gf_c[f])[:, None], 0.0)
-            upd = upd + jnp.where(lanes == (lane0_c + F + f)[:, None], (wz1_c * gf_c[f])[:, None], 0.0)
+            for w_c, off in zip(ws_c, lane_offs):
+                upd = upd + jnp.where(
+                    lanes == (lane0_c + off + f)[:, None], (w_c * gf_c[f])[:, None], 0.0)
         return upd
 
-    def accum_rows(g_rows, rl_c, lane0_c, wz0_c, wz1_c, gf_c):
-        upd = build_upd(rl_c, lane0_c, wz0_c, wz1_c, gf_c)
+    def accum_rows(g_rows, rl_c, lane0_c, ws_c, gf_c, lane_offs):
+        upd = build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs)
         R = g_rows.shape[0]
         if R <= _MM_BWD_MAX_R:  # one-hot matmul form (see _MM_BWD_MAX_R)
             e = (rl_c[:, None] == jax.lax.broadcasted_iota(
@@ -431,16 +528,13 @@ def _hash_lookup_fused_bwd(spec, resid, g):
 
     grads = []
     for l in range(L):
-        R = int(offs[l + 1] - offs[l])
-        el = pair_idx[l].reshape(-1)  # (4B,)
-        rl = el // cpr
-        lane0 = (el % cpr) * F
-        wz0 = w[l, :4].reshape(-1)
-        wz1 = w[l, 4:].reshape(-1)
-        gf = jnp.stack([jnp.broadcast_to(g[f, l][None], (4, B)).reshape(-1) for f in range(F)])
+        R = int(row_offs[l + 1] - row_offs[l])
+        rl, lane0, ws, lane_offs, _, nc = _fused_level_idx(spec, pair_idx, w, l)
+        gf = jnp.stack([jnp.broadcast_to(g[f, l][None], (nc, B)).reshape(-1) for f in range(F)])
+        Nl = nc * B
         g_rows0 = jnp.zeros((R, 128), jnp.float32)
         if Nl <= _FUSED_CHUNK_ROWS:
-            g_rows = accum_rows(g_rows0, rl, lane0, wz0, wz1, gf)
+            g_rows = accum_rows(g_rows0, rl, lane0, ws, gf, lane_offs)
         else:
             n_chunks, ch, pad = _fused_chunk_split(Nl)
 
@@ -450,10 +544,22 @@ def _hash_lookup_fused_bwd(spec, resid, g):
                 z = jnp.zeros(x.shape[:-1] + (pad,), x.dtype)
                 return jnp.concatenate([x, z], axis=-1)
 
-            xs = tuple(padc(x).reshape(n_chunks, ch) for x in (rl, lane0, wz0, wz1))
+            xs = tuple(padc(x).reshape(n_chunks, ch) for x in (rl, lane0) + ws)
             gf_c = padc(gf).reshape(F, n_chunks, ch).transpose(1, 0, 2)
+            nw = len(ws)
             g_rows, _ = jax.lax.scan(
-                lambda gr, c: (accum_rows(gr, *c), None), g_rows0, xs + (gf_c,))
+                lambda gr, c: (accum_rows(gr, c[0], c[1], tuple(c[2:2 + nw]), c[-1], lane_offs), None),
+                g_rows0, xs + (gf_c,))
+        if quad[l]:
+            # overlap fold: row = two aligned 32-entry halves -> two
+            # shifted slice-adds into (R+1) half-slots, then the 32-entry
+            # wrap pad folds onto the head. Pure slice arithmetic.
+            g2 = g_rows.reshape(R, 2, _QUAD_STRIDE * F)
+            half = jnp.zeros((R + 1, _QUAD_STRIDE * F), jnp.float32)
+            half = half.at[:R].add(g2[:, 0]).at[1:].add(g2[:, 1])
+            ent = half.reshape((R + 1) * _QUAD_STRIDE, F)
+            grads.append(ent[:T].at[:_QUAD_STRIDE].add(ent[T:]))
+            continue
         g4 = g_rows.reshape(R, cpr + 1, F)
         main = g4[:, :cpr].reshape(R * cpr, F)
         extra = g4[:, cpr]  # canonical entries cpr*(r+1)
@@ -710,6 +816,16 @@ class HashGridEmbedder(nn.Module):
     # recover the exact instant-ngp hash.
     pair_dense: bool = True
     pair_hash: bool = True
+    # QUAD packing of hashed levels (fused path only): a hash additive in
+    # y (stride 31) AND z ((x*p1) + y*31 + z mod T) puts all four (dy, dz)
+    # corners in one stride-32 overlapped row — 2 gathers/point/level vs 4
+    # paired. Measured fwd 85.3 -> 60.1 ms over the 11 hashed levels at
+    # bench shapes (scripts/probe_quad.py); the backward is scatter-bound
+    # either way. Changes collision structure ((y+1, z) aliases with
+    # (y, z+31)), so quality-gated via scripts/gate_quad_hash.sh before
+    # the default flip (same protocol as pair_hash). Takes precedence
+    # over pair_hash on hashed levels when True.
+    quad_hash: bool = False
     # fuse the trilinear interpolation into the lookup op (TPU, all levels
     # paired): one merged gather across levels, weights folded into the
     # lane extraction, (F, L, B) output. Gradients then flow to the table
@@ -765,11 +881,20 @@ class HashGridEmbedder(nn.Module):
         B = xyz.shape[0]
         lane_ok = 128 % F == 0 and T % (128 // F) == 0
         on_tpu = jax.default_backend() == "tpu" and lane_ok
-        # which levels use the pair-coalesced gather (TPU only)
-        paired = [
-            on_tpu and ((bool(d) and self.pair_dense) or ((not bool(d)) and self.pair_hash))
+        # quad packing needs 64-entry rows (F=2) and stride | T
+        quad_ok = self.quad_hash and F == 2 and T % _QUAD_STRIDE == 0
+        quad_lvls = [(not bool(d)) and quad_ok for d in dense_ok]
+        # levels that can ride the FUSED op (pair- or quad-coalesced)
+        fusable = [
+            on_tpu and ((bool(d) and self.pair_dense)
+                        or ((not bool(d)) and (self.pair_hash or quad_ok)))
             for d in dense_ok
         ]
+        use_fused = on_tpu and self.fuse_interp and all(fusable)
+        # levels that use the pair-coalesced gather in the NON-fused op
+        # (quad levels fall back to 8-corner single entries there — the
+        # quad HASH still applies so train/eval paths stay consistent)
+        paired = [fusable[l] and not quad_lvls[l] for l in range(L)]
 
         # TPU layout note: keep the huge point dim B minor-most everywhere.
         # A (B, L, 8, F) gather pads its tiny trailing dims to the (8, 128)
