@@ -64,11 +64,18 @@ class BlendedMVS(Base3dDataset):
 
     def __init__(self, cfgs, data_dir, mode="train", transforms=None):
         super().__init__(cfgs, data_dir, mode, transforms)
-        scan_id = get_value_from_cfgs_field(cfgs, "scan_id", 1)
-        self.data_spec_dir = osp.join(data_dir, "BlendedMVS", str(scan_id))
-        self.identifier = str(scan_id)
+        # reference layout (blendedmvs_dataset.py:24-28): scene_name dir
+        # with image/*.jpg; scan_id kept as a fallback identifier
+        scene = get_value_from_cfgs_field(cfgs, "scene_name", None)
+        if scene is None:
+            scene = str(get_value_from_cfgs_field(cfgs, "scan_id", 1))
+        self.data_spec_dir = osp.join(data_dir, "BlendedMVS", str(scene))
+        self.identifier = str(scene)
 
-        img_list = sorted(glob.glob(osp.join(self.data_spec_dir, "image", "*.png")))
+        img_list = sorted(
+            glob.glob(osp.join(self.data_spec_dir, "image", "*.jpg"))
+            + glob.glob(osp.join(self.data_spec_dir, "image", "*.png"))
+        )
         self.n_imgs = len(img_list)
         assert self.n_imgs > 0, "no images in {}".format(self.data_spec_dir)
 

@@ -118,12 +118,17 @@ class NSVF(Base3dDataset):
 
 @DATASET_REGISTRY.register()
 class RTMV(Base3dDataset):
-    """RTMV layout: per-frame json cam + image (exr or png)
-    (reference rtmv_dataset.py)."""
+    """RTMV layout: per-frame json cam + image (exr or png) + optional
+    *.seg.exr masks (reference rtmv_dataset.py:22-118). The reference
+    nests scenes under a split dir (``RTMV/<split_name>/<scene>``,
+    rtmv_dataset.py:27) — set cfgs.split_name for that layout; without it
+    the scene dir sits directly under RTMV/."""
 
     def __init__(self, cfgs, data_dir, mode="train", transforms=None):
         super().__init__(cfgs, data_dir, mode, transforms)
-        self.data_spec_dir = osp.join(data_dir, "RTMV", cfgs.scene_name)
+        split_name = get_value_from_cfgs_field(cfgs, "split_name", None)
+        parts = [data_dir, "RTMV"] + ([str(split_name)] if split_name else []) + [cfgs.scene_name]
+        self.data_spec_dir = osp.join(*parts)
         self.identifier = cfgs.scene_name
         import json
 
@@ -132,7 +137,7 @@ class RTMV(Base3dDataset):
 
         import cv2
 
-        self.images, self.cameras = [], []
+        self.images, self.cameras, masks = [], [], []
         for jp in json_list:
             base = jp[:-5]
             img_path = None
@@ -142,11 +147,21 @@ class RTMV(Base3dDataset):
                     break
             if img_path is None:
                 continue
-            img = cv2.imread(img_path, cv2.IMREAD_UNCHANGED)
+            img = cv2.imread(img_path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+            if img is None:
+                img = cv2.imread(img_path, cv2.IMREAD_UNCHANGED)
             if img.dtype == np.uint8:
                 img = img.astype(np.float32) / 255.0
-            img = img[..., [2, 1, 0]] if img.shape[-1] >= 3 else img
-            self.images.append(img[..., :3].astype(np.float32))
+            img = img[..., [2, 1, 0]] if img.ndim == 3 and img.shape[-1] >= 3 else img
+            self.images.append(np.clip(img[..., :3].astype(np.float32), 0.0, 1.0))
+
+            # reference mask source: the seg channel (rtmv_dataset.py:88-96)
+            seg_path = base + ".seg.exr"
+            if osp.exists(seg_path):
+                seg = cv2.imread(seg_path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+                if seg is not None:
+                    seg = seg[..., 0] if seg.ndim == 3 else seg
+                    masks.append((seg.astype(np.float32) > 0).astype(np.float32))
 
             with open(jp) as f:
                 meta = json.load(f)
@@ -164,6 +179,8 @@ class RTMV(Base3dDataset):
             self.cameras.append(PerspectiveCamera(K, c2w, self.W, self.H))
 
         self.n_imgs = len(self.images)
+        if len(masks) == self.n_imgs and self.n_imgs > 0:
+            self.masks = masks
         self.norm_cam_pose()
         holdout = self.get_holdout_index()
         self.apply_holdout(holdout)

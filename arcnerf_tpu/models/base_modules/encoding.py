@@ -130,10 +130,33 @@ def _hash_lookup_rowform_bwd(spec, entry_idx, g):
 _hash_lookup_rowform.defvjp(_hash_lookup_rowform_fwd, _hash_lookup_rowform_bwd)
 
 
+def _level_fields(spec):
+    """Normalize spec fields 4/5 into per-level (paired, quad) bool lists.
+
+    spec = ((L,T,F), gather_dtype, res, dense_ok, pair_field[, quad_field]).
+    Each field is either a per-level tuple passed by the embedder (which
+    knows exactly which levels it routed to which index array) or a legacy
+    scalar bool (pair: dense-or-flag; quad: hashed-and-flag). Quad takes
+    precedence: a quad level is never pair-laid-out, so the lists the ops
+    see always match the index arrays the embedder actually built."""
+    (L, _, _), _, _, dense_ok = spec[:4]
+    pf = spec[4]
+    qf = spec[5] if len(spec) > 5 else False
+    if isinstance(qf, (tuple, list)):
+        quad = [bool(v) for v in qf]
+    else:
+        quad = [(not bool(dense_ok[l])) and bool(qf) for l in range(L)]
+    if isinstance(pf, (tuple, list)):
+        paired = [bool(v) for v in pf]
+    else:
+        paired = [bool(dense_ok[l]) or bool(pf) for l in range(L)]
+    paired = [paired[l] and not quad[l] for l in range(L)]
+    return paired, quad
+
+
 def _pair_layout(spec):
     """Static helpers for the overlapped-row pair layout.
 
-    spec carries (shape, gather_dtype, res, dense_ok, pair_hash[, quad]).
     A level is PAIRED when its two z-corners are adjacent table entries
     (dense layout has z minor-most; pair_hash makes hashed levels
     z-additive): one row gather then serves both corners of each (x, y)
@@ -142,10 +165,10 @@ def _pair_layout(spec):
     so a pair (e, e+1) never crosses a row. Measured: gather cost is
     per-INDEX (~4-6 ns/row, probe_pair_gather.py), so paired levels cut
     the encoder's dominant term roughly in half."""
-    (L, T, F), _, res, dense_ok, pair_hash = spec[:5]
+    (L, T, F), _, res, dense_ok = spec[:4]
     epr = 128 // F
     cpr = epr - 1
-    paired = [bool(d) or bool(pair_hash) for d in dense_ok]
+    paired, _ = _level_fields(spec)
     n_entries = []
     for l in range(L):
         if dense_ok[l]:
@@ -296,10 +319,8 @@ _QUAD_STRIDE = 32
 
 
 def _quad_levels(spec):
-    """Per-level quad flags from a 6-field spec (False for 5-field)."""
-    (L, _, _), _, _, dense_ok, _ = spec[:5]
-    quad_hash = spec[5] if len(spec) > 5 else False
-    return [(not bool(dense_ok[l])) and bool(quad_hash) for l in range(L)]
+    """Per-level quad flags (spec field 5: per-level tuple or legacy bool)."""
+    return _level_fields(spec)[1]
 
 
 def _pack_quad_rows(table_l, T, F, gather_dtype):
@@ -401,7 +422,7 @@ def _fused_level_idx(spec, pair_idx, w, l):
     ids, base lanes, per-corner weight vectors + static lane offsets, the
     mm-forward flag, and the number of gathered corners per point (4 for
     pair levels, 2 for quad levels)."""
-    (L, T, F), _, _, dense_ok, _ = spec[:5]
+    (L, T, F), gather_dtype, _, dense_ok = spec[:4]
     _, cpr, _, n_entries = _pair_layout(spec)
     if _quad_levels(spec)[l]:
         el = pair_idx[l, :2].reshape(-1)  # (2B,) x-corner-major
@@ -417,7 +438,11 @@ def _fused_level_idx(spec, pair_idx, w, l):
     lane0 = (el % cpr) * F
     ws = (w[l, :4].reshape(-1), w[l, 4:].reshape(-1))
     R = -(-n_entries[l] // cpr)
-    mm = bool(dense_ok[l]) and 0 < _MM_FWD_MAX_R and R <= _MM_FWD_MAX_R
+    # mm fetch is exact ONLY when the rows are already bf16 (E is 0/1, so
+    # the TPU's bf16 matmul pass reproduces the gathered value bit-exactly);
+    # f32 tables must keep the gather or they'd be silently bf16-rounded.
+    mm = (bool(dense_ok[l]) and 0 < _MM_FWD_MAX_R and R <= _MM_FWD_MAX_R
+          and gather_dtype == "bfloat16")
     return rl, lane0, ws, (0, F), mm, 4
 
 
@@ -454,8 +479,6 @@ def _hash_lookup_fused(spec, table, pair_idx, w):
     they must build their geo net with needs_input_grad=True, which sets
     HashGridEmbedder.fuse_interp=False (build_geo_model)."""
     (L, T, F), gather_dtype, _, dense_ok, _ = spec[:5]
-    _, cpr, _, n_entries = _pair_layout(spec)
-    quad = _quad_levels(spec)
     B = pair_idx.shape[2]
     # per-level gathers (not one merged gather over concatenated tables):
     # measured 94.1 vs 121.2 ms at the bench shapes — the per-level
@@ -881,7 +904,10 @@ class HashGridEmbedder(nn.Module):
         B = xyz.shape[0]
         lane_ok = 128 % F == 0 and T % (128 // F) == 0
         on_tpu = jax.default_backend() == "tpu" and lane_ok
-        # quad packing needs 64-entry rows (F=2) and stride | T
+        # quad packing needs 64-entry rows (F=2) and stride | T. The quad
+        # HASH choice must NOT depend on the backend (a table trained with
+        # the quad hash must be read with it on CPU too), so quad_lvls is
+        # layout-independent; only the fused LAYOUT below is TPU-gated.
         quad_ok = self.quad_hash and F == 2 and T % _QUAD_STRIDE == 0
         quad_lvls = [(not bool(d)) and quad_ok for d in dense_ok]
         # levels that can ride the FUSED op (pair- or quad-coalesced)
@@ -936,6 +962,26 @@ class HashGridEmbedder(nn.Module):
                         ax[cx] + ay[cy] + z0 + cz
                         for (cx, cy, cz) in _CORNER_OFFSETS.tolist()
                     ]))
+            elif quad_lvls[l]:
+                # quad hash: additive in y (stride _QUAD_SY) AND z, so the
+                # 4 (dy, dz) corners of a point span 33 entries from each
+                # x-corner base — one stride-32 row gather serves all 4
+                ux, uy, uz = x0.astype(jnp.uint32), y0.astype(jnp.uint32), z0.astype(jnp.uint32)
+                p = jnp.uint32(_HASH_PRIMES[1])
+                qb = [(((ux + cx) * p + uy * jnp.uint32(_QUAD_SY) + uz)
+                       & jnp.uint32(T - 1)).astype(jnp.int32) for cx in (0, 1)]
+                if use_fused:
+                    # dedicated quad rows: x-corner bases in rows 0/1
+                    # (_fused_level_idx reads pair_idx[l, :2]); rows 2/3
+                    # are never read, duplicate to keep the stack uniform
+                    pair_bases.append(jnp.stack([qb[0], qb[1], qb[0], qb[1]]))
+                else:
+                    # per-corner entries with the SAME quad hash (wraps mod
+                    # T exactly like the packed rows' wrap pad)
+                    single_entries.append(jnp.stack([
+                        (qb[cx] + cy * _QUAD_SY + cz) % T
+                        for (cx, cy, cz) in _CORNER_OFFSETS.tolist()
+                    ]))
             elif self.pair_hash:
                 # z-additive hash: (x*p0 ^ y*p1) + z mod T — z-pairs adjacent
                 ux, uy = x0.astype(jnp.uint32), y0.astype(jnp.uint32)
@@ -962,11 +1008,11 @@ class HashGridEmbedder(nn.Module):
 
         w = jnp.stack(weights)  # (L, 8, B)
 
-        if on_tpu and self.fuse_interp and all(paired):
+        if use_fused:
             pair_idx = jnp.stack(pair_bases)  # (L, 4, B)
             spec = ((L, T, F), jnp.dtype(gather_dtype).name,
                     tuple(int(v) for v in res), tuple(bool(v) for v in dense_ok),
-                    bool(self.pair_hash))
+                    tuple(not q for q in quad_lvls), tuple(quad_lvls))
             embed = _hash_lookup_fused(
                 spec, table, pair_idx, jax.lax.stop_gradient(w))  # (F, L, B)
             embed = embed.transpose(2, 1, 0).reshape(B, L * F).astype(xyz.dtype)
@@ -982,7 +1028,7 @@ class HashGridEmbedder(nn.Module):
                           jnp.zeros((0, 8, B), jnp.int32))
             spec = ((L, T, F), jnp.dtype(gather_dtype).name,
                     tuple(int(v) for v in res), tuple(bool(v) for v in dense_ok),
-                    bool(self.pair_hash))
+                    tuple(paired), tuple(quad_lvls))
             feats = _hash_lookup_paired(spec, table, pair_idx, single_idx)  # (F, L, 8, B)
         else:
             # CPU/fallback: element-granularity gather (row forms serialize

@@ -197,3 +197,94 @@ def test_hdrreal_exposures(tmp_path):
     assert len(ds) > 0
     sample = ds[0]
     assert "exp_time" in sample and float(np.asarray(sample["exp_time"]).reshape(-1)[0]) > 0.0
+
+
+def test_blendedmvs_cameras_npz(tmp_path):
+    """Reference layout (blendedmvs_dataset.py:24-89): BlendedMVS/<scene>/
+    image/*.jpg + cameras.npz with world_mat_i @ scale_mat_i projections."""
+    root = str(tmp_path)
+    scene = osp.join(root, "BlendedMVS", "bmvs_bear")
+    _write_imgs(osp.join(scene, "image"), ["{:08d}.jpg".format(i) for i in range(N)])
+
+    K = np.array([[25.0, 0, W / 2], [0, 25.0, H / 2], [0, 0, 1.0]])
+    cams = {}
+    for i, c2w in enumerate(_ring_c2ws()):
+        w2c = np.linalg.inv(c2w)
+        P = np.eye(4)
+        P[:3, :4] = K @ w2c[:3, :4]
+        cams["world_mat_{}".format(i)] = P
+        cams["scale_mat_{}".format(i)] = np.eye(4)
+    np.savez(osp.join(scene, "cameras.npz"), **cams)
+
+    cfgs = dict_to_obj({"type": "BlendedMVS", "scene_name": "bmvs_bear", "test_holdout": 4})
+    ds = get_dataset(cfgs, root, mode="train")
+    assert len(ds) == N - N // 4
+    _check_common(ds)
+    K_rec = ds.cameras[0].get_intrinsic()
+    np.testing.assert_allclose(K_rec[0, 0], 25.0, rtol=1e-3)
+    assert len(get_dataset(cfgs, root, mode="eval")) == N // 4
+
+
+def test_mipnerf360_poses_bounds_jpg(tmp_path):
+    """Reference layout (mipnerf360_dataset.py:25-79): MipNeRF360/<scene>/
+    images/*.JPG + poses_bounds.npy (llff rows)."""
+    root = str(tmp_path)
+    scene = osp.join(root, "MipNeRF360", "garden")
+    _write_imgs(osp.join(scene, "images"), ["IMG_{:04d}.JPG".format(i) for i in range(N)])
+    np.save(osp.join(scene, "poses_bounds.npy"), _poses_bounds(_ring_c2ws()))
+
+    cfgs = dict_to_obj({"type": "MipNeRF360", "scene_name": "garden", "test_holdout": 4})
+    ds = get_dataset(cfgs, root, mode="train")
+    assert len(ds) == N - N // 4
+    sample = _check_common(ds, with_bounds=True)
+    assert np.all(sample["bounds"][:, 0] < sample["bounds"][:, 1])
+
+
+def _try_write_exr(path, arr):
+    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+    try:
+        ok = cv2.imwrite(path, arr.astype(np.float32))
+    except cv2.error:
+        return False
+    return bool(ok) and osp.exists(path)
+
+
+def test_rtmv_json_frames(tmp_path):
+    """Reference layout (rtmv_dataset.py:27-118): RTMV/<split>/<scene>/
+    NNNNN.json (camera_data: cam2world + intrinsics) + NNNNN.exr images +
+    NNNNN.seg.exr masks. Falls back to png frames if this cv2 build has no
+    OpenEXR codec (the loader accepts both)."""
+    import json as _json
+
+    root = str(tmp_path)
+    scene = osp.join(root, "RTMV", "google_scanned", "toy")
+    os.makedirs(scene, exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    use_exr = _try_write_exr(osp.join(scene, "_probe.exr"), np.zeros((4, 4, 3)))
+    n_masks = 0
+    for i, c2w in enumerate(_ring_c2ws()):
+        name = osp.join(scene, "{:05d}".format(i))
+        img = rng.uniform(size=(H, W, 3)).astype(np.float32)
+        if use_exr:
+            assert _try_write_exr(name + ".exr", img)
+            if _try_write_exr(name + ".seg.exr", (img[..., :1] > 0.5).astype(np.float32)):
+                n_masks += 1
+        else:
+            cv2.imwrite(name + ".png", (img * 255).astype(np.uint8))
+        meta = {"camera_data": {
+            "cam2world": c2w.T.tolist(),  # RTMV stores transposed
+            "intrinsics": {"fx": 25.0, "fy": 25.0, "cx": W / 2, "cy": H / 2},
+            "width": W, "height": H,
+        }}
+        with open(name + ".json", "w") as f:
+            _json.dump(meta, f)
+
+    cfgs = dict_to_obj({"type": "RTMV", "scene_name": "toy",
+                        "split_name": "google_scanned"})
+    ds = get_dataset(cfgs, root, mode="train")
+    assert len(ds) == N - (-(-N // 8))  # default test_holdout=8 takes every 8th
+    assert len(get_dataset(cfgs, root, mode="eval")) == -(-N // 8)
+    _check_common(ds, with_mask=(use_exr and n_masks == N))
+    sample = ds[0]
+    assert float(np.asarray(sample["img"]).max()) <= 1.0 + 1e-6

@@ -359,3 +359,125 @@ def test_fused_mm_bwd_matches_scatter(monkeypatch):
     monkeypatch.setattr(enc, "_MM_BWD_MAX_R", 1 << 30)
     g_mm = jax.grad(loss)(table)
     np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_scatter), rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------ quad-coalesced lookup (r4)
+
+def _quad_case(seed=0, L=4, T=1 << 10, F=2, B=64):
+    """2 dense pair levels + 2 hashed QUAD levels (6-field spec)."""
+    from arcnerf_tpu.models.base_modules.encoding import _QUAD_SY
+
+    rng = np.random.default_rng(seed)
+    table = jnp.asarray(rng.normal(size=(L, T, F)).astype(np.float32) * 0.1)
+    res = (7, 9, 40, 80)
+    dense_ok = tuple(bool(v) for v in (np.asarray(res) + 1) ** 3 <= T)
+    quad = tuple(not d for d in dense_ok)
+    bases = []
+    for l in range(L):
+        if dense_ok[l]:
+            n_entry = (res[l] + 1) ** 3
+            bases.append(rng.integers(0, n_entry - 1, size=(4, B)))
+        else:
+            qb = rng.integers(0, T, size=(2, B))  # x-corner quad bases
+            bases.append(np.stack([qb[0], qb[1], qb[0], qb[1]]))
+    pair_idx = jnp.asarray(np.stack(bases), dtype=jnp.int32)
+    w = jnp.asarray(rng.random(size=(L, 8, B)).astype(np.float32))
+    spec = ((L, T, F), "float32", res, dense_ok,
+            tuple(not q for q in quad), quad)
+    return spec, table, pair_idx, w, _QUAD_SY
+
+
+def _reference_fused_quad(spec, table, pair_idx, w, sy):
+    """Element-form reference honoring the quad corner addressing:
+    corner (cx, cy, cz) of a quad level reads (qb[cx] + cy*sy + cz) % T."""
+    (L, T, F), _, res, dense_ok, _, quad = spec
+    B = pair_idx.shape[2]
+    tbl, wn = np.asarray(table), np.asarray(w)
+    out = np.zeros((F, L, B), np.float32)
+    corners = [(cx, cy, cz) for cz in (0, 1) for cx in (0, 1) for cy in (0, 1)]
+    for l in range(L):
+        base = np.asarray(pair_idx[l])
+        for c, (cx, cy, cz) in enumerate(corners):
+            if quad[l]:
+                e = (base[cx] + cy * sy + cz) % T
+            else:
+                n_entry = (res[l] + 1) ** 3 if dense_ok[l] else T
+                e = base[cz * 0 + cx * 2 + cy] + (1 if cz else 0)
+                e = np.where(e >= n_entry, e - n_entry, e)
+            out[:, l] += tbl[l, e].T * wn[l, c][None]
+    return out
+
+
+def test_fused_quad_lookup_values():
+    from arcnerf_tpu.models.base_modules.encoding import _hash_lookup_fused
+
+    spec, table, pair_idx, w, sy = _quad_case()
+    out = _hash_lookup_fused(spec, table, pair_idx, w)
+    ref = _reference_fused_quad(spec, table, pair_idx, w, sy)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_quad_table_grad_exact():
+    from arcnerf_tpu.models.base_modules.encoding import _hash_lookup_fused
+
+    spec, table, pair_idx, w, sy = _quad_case(seed=3)
+    (L, T, F), _, res, dense_ok, _, quad = spec
+    B = pair_idx.shape[2]
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.normal(size=(F, L, B)).astype(np.float32))
+    grad = jax.grad(lambda t: jnp.sum(_hash_lookup_fused(spec, t, pair_idx, w) * g))(table)
+
+    ref = np.zeros((L, T, F), np.float32)
+    gn, wn = np.asarray(g), np.asarray(w)
+    corners = [(cx, cy, cz) for cz in (0, 1) for cx in (0, 1) for cy in (0, 1)]
+    for l in range(L):
+        base = np.asarray(pair_idx[l])
+        for c, (cx, cy, cz) in enumerate(corners):
+            if quad[l]:
+                e = (base[cx] + cy * sy + cz) % T
+            else:
+                n_entry = (res[l] + 1) ** 3 if dense_ok[l] else T
+                e = base[cx * 2 + cy] + (1 if cz else 0)
+                e = np.where(e >= n_entry, e - n_entry, e)
+            for f in range(F):
+                np.add.at(ref[l, :, f], e, gn[f, l] * wn[l, c])
+    np.testing.assert_allclose(np.asarray(grad), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_embedder_quad_fused_matches_unfused(monkeypatch):
+    """quad_hash=True end-to-end: the fused path (quad rows) must equal the
+    non-fused path (8-corner single entries, same quad hash) exactly —
+    values AND table grads. Also covers that quad_hash traces at all with
+    pair_hash left at its default (regression: the spec used to mark quad
+    levels paired and statically indexed pair_idx out of bounds)."""
+    import arcnerf_tpu.models.base_modules.encoding as enc_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kw = dict(n_levels=4, n_feat_per_entry=2, hashmap_size=10, base_res=4,
+              max_res=64, side=2.0, include_input=True, quad_hash=True)
+    xyz = jnp.asarray(np.random.default_rng(5).uniform(-0.9, 0.9, size=(64, 3)).astype(np.float32))
+    enc_f = enc_mod.HashGridEmbedder(**kw)
+    enc_u = enc_mod.HashGridEmbedder(**kw, fuse_interp=False)
+    v = enc_f.init(jax.random.PRNGKey(0), xyz)
+    out_f = enc_f.apply(v, xyz)
+    out_u = enc_u.apply(v, xyz)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u), rtol=1e-6, atol=1e-6)
+    gf = jax.grad(lambda p: jnp.sum(enc_f.apply(p, xyz) ** 2))(v)["params"]["embeddings"]
+    gu = jax.grad(lambda p: jnp.sum(enc_u.apply(p, xyz) ** 2))(v)["params"]["embeddings"]
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gu), rtol=1e-5, atol=1e-6)
+
+
+def test_embedder_quad_cpu_fallback_consistent(monkeypatch):
+    """The CPU element path must read a quad-hash table with the SAME quad
+    hash the TPU paths trained it with (backend-independent semantics)."""
+    import arcnerf_tpu.models.base_modules.encoding as enc_mod
+
+    kw = dict(n_levels=4, n_feat_per_entry=2, hashmap_size=10, base_res=4,
+              max_res=64, side=2.0, include_input=True, quad_hash=True)
+    xyz = jnp.asarray(np.random.default_rng(5).uniform(-0.9, 0.9, size=(64, 3)).astype(np.float32))
+    enc = enc_mod.HashGridEmbedder(**kw)
+    v = enc.init(jax.random.PRNGKey(0), xyz)
+    out_cpu = enc.apply(v, xyz)  # real backend: cpu element path
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out_tpu = enc.apply(v, xyz)  # fused quad path (jnp graph runs on cpu)
+    np.testing.assert_allclose(np.asarray(out_cpu), np.asarray(out_tpu), rtol=1e-6, atol=1e-6)
