@@ -1,18 +1,19 @@
 """exp with truncated-input gradient (instant-ngp's trunc_exp).
 
 Replaces /root/reference/arcnerf/ops/trunc_exp.py:7-61 (torch autograd
-Function) with jax.custom_vjp: forward exp(min(x, clip)); backward
-grad * exp(clip(x, -clip, clip)) so huge densities cannot blow up
-gradients.
+Function) with jax.custom_vjp. Reference semantics: the FORWARD is the
+plain exp; only the BACKWARD clamps its input (grad * exp(clip(x, -15,
+15))) so huge densities cannot blow up gradients.
 
-The FORWARD cap is load-bearing, not just the backward's: a transient
-density spike past x ~ 88.7 overflows f32 exp to inf, and an inf sigma
-at a zero-weight sample (masked slot, zero marching delta) survives the
-forward invisibly but turns into inf*0 = NaN in the VJP — the multivol
-golden run diverged exactly this way at epoch ~10 (grad NaN with every
-forward output finite; bisected via /tmp repro ablations: clipping the
-forward alone makes the step clean). exp(15) = 3.3e6 density is opaque
-at any step size the recipes use, so the cap is semantically free.
+History: r3 temporarily capped the forward at exp(15) to stop a multivol
+divergence at epoch ~10. The real bug was downstream — ray_marching's
+``1 - exp(-relu(sigma) * delta)`` forward is finite even for sigma = inf,
+but the alpha VJP multiplies by ``exp(-relu(sigma) * delta)`` whose
+cotangent path produces inf * 0 = NaN once sigma overflows f32 exp
+(x > ~88.7). ray_marching now sanitizes sigma at the alpha boundary
+(finite clamp, zero cotangent beyond it) instead of changing trunc_exp's
+forward semantics for every model. See tests/test_ops.py trunc_exp cases
+and tests/test_render.py masked-overflow regression.
 """
 
 import jax
@@ -23,11 +24,11 @@ _CLIP = 15.0
 
 @jax.custom_vjp
 def trunc_exp(x):
-    return jnp.exp(jnp.minimum(x, _CLIP))
+    return jnp.exp(x)
 
 
 def _fwd(x):
-    return jnp.exp(jnp.minimum(x, _CLIP)), x
+    return jnp.exp(x), x
 
 
 def _bwd(x, g):

@@ -354,7 +354,14 @@ def ray_marching(
         noise = 0.0
         if noise_std > 0.0 and key is not None:
             noise = jax.random.normal(key, _sigma.shape, dtype=dtype) * noise_std
-        alpha = 1.0 - jnp.exp(-jax.nn.relu(_sigma + noise) * deltas)
+        # finite clamp at the alpha boundary: a density that overflowed f32
+        # exp (trunc_exp keeps reference forward semantics, so sigma can be
+        # inf) would make this VJP compute inf * 0 = NaN even though alpha
+        # itself is finite. jnp.minimum picks the constant above the cap, so
+        # the cotangent back to an overflowed sigma is exactly zero — the
+        # same gradient the reference's grad-clamped trunc_exp produces.
+        s = jnp.minimum(jax.nn.relu(_sigma + noise), 1e10)
+        alpha = 1.0 - jnp.exp(-s * deltas)
 
     trans_shift, weights = alpha_to_weights(alpha)
 

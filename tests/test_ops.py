@@ -267,24 +267,37 @@ def test_hashgrid_embedder_rowform_grads():
 
 class TestTruncExpOverflow:
 
-    def test_forward_capped_no_inf(self):
-        """Forward must cap at exp(15): an f32 exp overflow (x > ~88.7)
-        produces inf sigma at masked samples, which survives the forward
-        invisibly and turns into inf*0 = NaN in the marching VJP (the
-        multivol epoch-10 divergence)."""
+    def test_forward_is_plain_exp(self):
+        """Reference semantics (reference trunc_exp.py:7-61): the FORWARD is
+        the plain exp — it may overflow f32 to inf; only the gradient is
+        clamped. The inf-safety lives at the ray_marching alpha boundary
+        (see test_marching_overflow_grad_finite), not here."""
         x = jnp.asarray([100.0, 89.0, 15.0, 0.0])
-        y = trunc_exp(x)
-        assert np.isfinite(np.asarray(y)).all()
-        np.testing.assert_allclose(np.asarray(y[:2]), np.exp(15.0), rtol=1e-6)
+        y = np.asarray(trunc_exp(x))
+        assert np.isinf(y[:2]).all()
+        np.testing.assert_allclose(y[2:], np.exp(np.asarray(x[2:])), rtol=1e-6)
 
-    def test_masked_overflow_grad_finite(self):
-        """inf*0 NaN repro: sigma at a zero-delta sample must not poison
-        the gradient once the forward is capped."""
+    def test_marching_overflow_grad_finite(self):
+        """The multivol epoch-10 divergence: sigma that overflowed f32 exp
+        (trunc_exp forward is plain exp) meets a zero marching delta (last
+        valid slot / crushed duplicate zvals) — inf * 0 = NaN in the alpha
+        forward and VJP. ray_marching's finite clamp at the alpha boundary
+        must keep BOTH the render and the gradient finite."""
+        from arcnerf_tpu.render.ray_helper import ray_marching
+
+        zvals = jnp.asarray([[1.0, 1.0 + 1e-7, 2.0]])  # duplicate -> delta[0] = 0
+
         def f(x):
-            sigma = trunc_exp(x)
-            delta = jnp.asarray([0.1, 0.0])  # second sample masked (delta 0)
-            alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
-            return jnp.sum(alpha)
+            sigma = trunc_exp(x).reshape(1, 3)
+            radiance = jnp.ones((1, 3, 3)) * 0.5
+            out = ray_marching(sigma, radiance, zvals, add_inf_z=True)
+            return jnp.sum(out["rgb"]) + jnp.sum(out["depth"])
 
-        g = jax.grad(f)(jnp.asarray([1.0, 200.0]))
+        # overflow at the ZERO-DELTA slot: inf * 0 = NaN without the clamp
+        x = jnp.asarray([200.0, 1.0, 2.0])
+        val, g = jax.value_and_grad(f)(x)
+        assert np.isfinite(float(val))
         assert np.isfinite(np.asarray(g)).all()
+        # and at a positive-delta slot: alpha saturates to 1, grads stay finite
+        val2, g2 = jax.value_and_grad(f)(jnp.asarray([1.0, 200.0, 2.0]))
+        assert np.isfinite(float(val2)) and np.isfinite(np.asarray(g2)).all()

@@ -247,3 +247,56 @@ def test_two_process_multihost_grad_parity():
             loss_i, gl2_i = np.load(path)
             np.testing.assert_allclose(loss_i, loss_ref, rtol=1e-4)
             np.testing.assert_allclose(gl2_i, gl2_ref, rtol=1e-3)
+
+
+def test_weak_scaling_per_device_cost():
+    """Weak scaling on the virtual mesh (VERDICT r3 item 8): the 8-device
+    step at 8x the ray batch must compile to a per-device program whose
+    compute cost matches the 1-device step at 1x batch within 15% — i.e.
+    scaling adds collectives, not redundant per-device work. Wall-clock
+    can't be asserted on a virtual mesh (8 'devices' share one core), so
+    the assertion rides XLA's own cost analysis of the compiled program.
+    Also executes one step on both meshes to pin numerics stay finite."""
+    from arcnerf_tpu.parallel.mesh import get_mesh
+
+    rng = np.random.default_rng(0)
+    # hashgrid-shaped toy step: embedding gather + MLP + MSE + adam-ish
+    # update — the same op mix as the real train step, small enough to
+    # compile twice in CI time
+    table = jnp.asarray(rng.normal(size=(8, 2048, 2)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32) * 0.1)
+    params = {"table": table, "w1": w1, "w2": w2}
+
+    def loss_fn(p, idx, target):
+        feats = jnp.take(p["table"].reshape(-1, 2), idx.reshape(-1), axis=0)
+        h = feats.reshape(idx.shape[0], -1)  # (B, 8*2)
+        h = jax.nn.relu(h @ p["w1"])
+        return jnp.mean((h @ p["w2"] - target) ** 2)
+
+    def step(p, idx, target):
+        g = jax.grad(loss_fn)(p, idx, target)
+        return jax.tree_util.tree_map(lambda a, b: a - 1e-2 * b, p, g), loss_fn(p, idx, target)
+
+    def build(n_dev, batch):
+        mesh = get_mesh(n_dev)
+        idx = jnp.asarray(rng.integers(0, 8 * 2048, size=(batch, 8)), jnp.int32)
+        tgt = jnp.asarray(rng.normal(size=(batch, 3)).astype(np.float32))
+        data = shard_batch({"idx": idx, "tgt": tgt}, mesh)
+        p = replicate(params, mesh)
+        fn = jax.jit(step)
+        compiled = fn.lower(p, data["idx"], data["tgt"]).compile()
+        (new_p, loss) = compiled(p, data["idx"], data["tgt"])
+        assert np.isfinite(float(loss))
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost.get("flops", 0.0)), n_dev
+
+    flops_1, _ = build(1, 4096)
+    flops_8, _ = build(8, 8 * 4096)
+    # cost_analysis reports the PER-DEVICE SPMD program cost (verified:
+    # 1-dev at B and 8-dev at 8B report identical flops for a pure-DP
+    # matmul), so the weak-scaling assertion compares them directly
+    assert flops_8 <= flops_1 * 1.15, \
+        "per-device step cost grew {:.2f}x under 8-way sharding".format(flops_8 / flops_1)
+    assert flops_8 >= flops_1 * 0.5, "8-device program suspiciously cheap (sharding broken?)"
