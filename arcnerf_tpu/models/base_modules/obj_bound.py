@@ -34,17 +34,27 @@ from ...utils.cfgs import get_value_from_cfgs_field, valid_key_in_cfgs
 from ...utils.registry import BOUND_REGISTRY
 
 
-def _cap_pts_per_ray(mask_pts, inference_only, cap):
+def _cap_pts_per_ray(mask_pts, inference_only, cap, offset=None):
     """Inference-time early-termination analogue (reference CUDA march's
     trans_shift cutoff, ray_helper.py:476 semantics): keep only the first
     ``cap`` valid samples per ray, front to back. Samples past the cap sit
     behind ~opaque surfaces (T ~ 0) on occupancy-culled scenes. Also makes
     eval chunks budget-safe: chunk_rays * cap bounds the compacted point
-    count, so the static budget cannot silently drop points mid-image."""
+    count, so the static budget cannot silently drop points mid-image.
+
+    ``offset`` (traced scalar or None) selects a later WINDOW of valid
+    samples: ranks in (offset, offset+cap]. The transmittance-continuation
+    renderer (trainer.render_image_windowed) marches consecutive windows
+    and composes them with carried per-ray transmittance — the TPU-shaped
+    equivalent of the reference CUDA renderer's alive-ray compaction
+    rounds."""
     if not inference_only or not cap:
         return mask_pts
     rank = jnp.cumsum(mask_pts.astype(jnp.int32), axis=1)
-    return mask_pts & (rank <= int(cap))
+    if offset is None:
+        return mask_pts & (rank <= int(cap))
+    off = jnp.asarray(offset, jnp.int32)
+    return mask_pts & (rank > off) & (rank <= off + int(cap))
 
 
 def _occ_mask_soa(volume, bitfield, rays_o, rays_d, zvals):
@@ -129,6 +139,7 @@ class BasicBound:
         rays_o=None,
         rays_d=None,
         keep_order=False,
+        cap_offset=None,
     ):
         """-> zvals (B, n_pts), mask_pts (B, n_pts)|None."""
         zvals = get_zvals_from_near_far(
@@ -197,6 +208,10 @@ class VolumeBound(BasicBound):
         params["ray_sample_fix_step"] = get_value_from_cfgs_field(self.cfgs, "ray_sample_fix_step", False)
         params["near_distance"] = get_value_from_cfgs_field(self.cfgs, "near_distance", 0.0)
         params["eval_max_pts_per_ray"] = get_value_from_cfgs_field(self.cfgs, "eval_max_pts_per_ray", None)
+        # transmittance-continuation windows (trainer.render_image_windowed):
+        # the cap becomes a rank WINDOW (offset traced per call) and the
+        # sampler also returns the pre-cap occupancy mask for marching
+        params["eval_cap_window"] = get_value_from_cfgs_field(self.cfgs, "eval_cap_window", False)
         return params
 
     def init_state(self):
@@ -224,6 +239,7 @@ class VolumeBound(BasicBound):
         rays_o=None,
         rays_d=None,
         keep_order=False,
+        cap_offset=None,
     ):
         use_acc = self.get_optim_cfgs("epoch_optim") is not None and self.get_optim_cfgs("ray_sample_acc")
         if not use_acc or "bitfield" not in state:
@@ -246,13 +262,21 @@ class VolumeBound(BasicBound):
         # bitfield gather — no (B*N, 3) point tensor (see volume.py
         # get_flat_voxel_idx_from_coords for the layout rationale)
         mask_pts = mask_pts & _occ_mask_soa(self.volume, state["bitfield"], rays_o, rays_d, zvals)
-        mask_pts = _cap_pts_per_ray(mask_pts, inference_only, self.get_optim_cfgs("eval_max_pts_per_ray"))
+        window = bool(self.get_optim_cfgs("eval_cap_window")) and inference_only
+        mask_cap = _cap_pts_per_ray(
+            mask_pts, inference_only, self.get_optim_cfgs("eval_max_pts_per_ray"),
+            offset=cap_offset if window else None)
         if keep_order:
             # scattered-mask mode: ray_marching(mask_pts=...) reproduces the
-            # compacted numerics without the per-ray stable sort
-            return zvals, mask_pts
-        zvals, mask_pts = handle_valid_mask_zvals(zvals, mask_pts)
-        return zvals, mask_pts
+            # compacted numerics without the per-ray stable sort. In window
+            # mode the pre-cap occupancy mask rides along so marching deltas
+            # span gaps with the FULL render's geometry (exact composition
+            # across windows; non-window samples march with sigma 0).
+            if window:
+                return zvals, (mask_cap, mask_pts)
+            return zvals, mask_cap
+        zvals, mask_cap = handle_valid_mask_zvals(zvals, mask_cap)
+        return zvals, mask_cap
 
     def optimize(self, state, cur_epoch=0, n_pts=128, get_est_opacity=None, key=None):
         """Opacity-EMA voxel pruning (reference volume_bound.py:160-213).
@@ -335,6 +359,7 @@ class BitfieldBound(BasicBound):
         params["near_distance"] = get_value_from_cfgs_field(self.cfgs, "near_distance", 0.0)
         params["opa_thres"] = get_value_from_cfgs_field(self.cfgs, "opa_thres", 0.01)
         params["eval_max_pts_per_ray"] = get_value_from_cfgs_field(self.cfgs, "eval_max_pts_per_ray", None)
+        params["eval_cap_window"] = get_value_from_cfgs_field(self.cfgs, "eval_cap_window", False)
         return params
 
     def init_state(self):
@@ -363,6 +388,7 @@ class BitfieldBound(BasicBound):
         rays_o=None,
         rays_d=None,
         keep_order=False,
+        cap_offset=None,
     ):
         """Const-dt march with bitfield culling + compaction — static-shape
         equivalent of sparse_volume_sampling_bit (bitfield_func_kernel.cu)."""
@@ -374,11 +400,16 @@ class BitfieldBound(BasicBound):
         fix_t = self.volume.get_diag_len() / n_pts
         zvals, mask_pts = get_zvals_from_near_far_fix_step(near, far, fix_t, n_pts, key=perturb_key)
         mask_pts = mask_pts & _occ_mask_soa(self.volume, state["bitfield"], rays_o, rays_d, zvals)
-        mask_pts = _cap_pts_per_ray(mask_pts, inference_only, self.get_optim_cfgs("eval_max_pts_per_ray"))
+        window = bool(self.get_optim_cfgs("eval_cap_window")) and inference_only
+        mask_cap = _cap_pts_per_ray(
+            mask_pts, inference_only, self.get_optim_cfgs("eval_max_pts_per_ray"),
+            offset=cap_offset if window else None)
         if keep_order:
-            return zvals, mask_pts
-        zvals, mask_pts = handle_valid_mask_zvals(zvals, mask_pts)
-        return zvals, mask_pts
+            if window:  # see VolumeBound: (eval window mask, march mask)
+                return zvals, (mask_cap, mask_pts)
+            return zvals, mask_cap
+        zvals, mask_cap = handle_valid_mask_zvals(zvals, mask_cap)
+        return zvals, mask_cap
 
     def optimize(self, state, cur_epoch=0, n_pts=128, get_est_opacity=None, key=None):
         """generate -> splat(max) -> ema -> update_bitfield, functionally

@@ -119,7 +119,7 @@ class FgModel(Base3dModel):
         return True
 
     def get_zvals_from_near_far(self, near, far, n_pts, inference_only=False, rays_o=None, rays_d=None,
-                                bound_state=None):
+                                bound_state=None, cap_offset=None):
         bound = self.get_obj_bound()
         return bound.get_zvals_from_near_far(
             bound_state or {},
@@ -133,6 +133,7 @@ class FgModel(Base3dModel):
             rays_o=rays_o,
             rays_d=rays_d,
             keep_order=self.use_scattered_masks(),
+            cap_offset=cap_offset,
         )
 
     # -------------------------------------------------------------- forward
@@ -151,9 +152,18 @@ class FgModel(Base3dModel):
             ns_eval = self.get_obj_bound().get_optim_cfgs().get("eval_n_sample")
             n_coarse = int(ns_eval) if ns_eval else n_coarse
         zvals, mask_pts = self.get_zvals_from_near_far(
-            near, far, n_coarse, inference_only, rays_o, rays_d, bound_state
+            near, far, n_coarse, inference_only, rays_o, rays_d, bound_state,
+            cap_offset=inputs.get("cap_offset"),
         )
         zvals = jax.lax.stop_gradient(zvals)
+
+        # window mode (transmittance-continuation renderer): the bound
+        # returns (eval window mask, pre-cap march mask) — marching deltas
+        # must span gaps like the FULL render's so windows compose exactly
+        mask_march = None
+        windowed = isinstance(mask_pts, tuple)
+        if windowed:
+            mask_pts, mask_march = mask_pts
 
         inputs = dict(inputs)
         inputs["zvals"] = zvals
@@ -161,6 +171,8 @@ class FgModel(Base3dModel):
         # static flag: mask is in ladder order (not left-compacted) — models
         # must pass it to ray_marching for mask-aware deltas
         inputs["mask_scattered"] = self.use_scattered_masks() and mask_pts is not None
+        if mask_march is not None:
+            inputs["mask_march"] = mask_march
 
         if mask_pts is not None:
             ray_has_pts = jnp.any(mask_pts, axis=1)
@@ -169,7 +181,12 @@ class FgModel(Base3dModel):
         output = self._forward(inputs, inference_only, get_progress, cur_epoch, total_epoch)
 
         if mask_rays is not None:
-            output = self.update_values_for_invalid_rays(output, mask_rays, bkg_color)
+            # windowed passes report PARTIAL integrals: rays with an empty
+            # window (or no hit) must contribute exactly zero so the
+            # trainer's T-weighted composition stays exact — no bkg/depth
+            # fills mid-composition
+            output = self.update_values_for_invalid_rays(
+                output, mask_rays, bkg_color, zero_fill=windowed)
         if mask_pts is not None:
             output["n_valid_pts"] = jnp.sum(mask_pts)
         return output
@@ -292,7 +309,7 @@ class FgModel(Base3dModel):
         return sigma.reshape(n_rays, n_pts), radiance
 
     # ----------------------------------------------------- invalid-ray fill
-    def update_values_for_invalid_rays(self, output_valid, mask, rand_bkg_color=None):
+    def update_values_for_invalid_rays(self, output_valid, mask, rand_bkg_color=None, zero_fill=False):
         """Fill defaults on rays that miss the bound (reference
         fg_model.py:320-387), via jnp.where on static shapes."""
         render_cfgs = self.get_render_cfgs()
@@ -302,6 +319,10 @@ class FgModel(Base3dModel):
                 output[k] = v
                 continue
             m = mask.reshape((mask.shape[0],) + (1,) * (v.ndim - 1))
+            if zero_fill:
+                # windowed partial integrals: empty-window rays contribute 0
+                output[k] = jnp.where(m, v, 0.0)
+                continue
             if k.startswith("rgb"):
                 if rand_bkg_color is not None:
                     fill = jnp.broadcast_to(rand_bkg_color, v.shape)

@@ -43,7 +43,9 @@ class NeRF(FgModel):
         rays_o, rays_d = inputs["rays_o"], inputs["rays_d"]
         zvals, mask_pts = inputs["zvals"], inputs["mask_pts"]
         bkg_color = inputs.get("bkg_color", None)
-        march_mask = mask_pts if inputs.get("mask_scattered") else None
+        # windowed renders march with the PRE-cap occupancy mask so deltas
+        # span gaps exactly like the full render (window composition)
+        march_mask = inputs.get("mask_march", mask_pts) if inputs.get("mask_scattered") else None
         output = {}
 
         sigma, radiance = self.get_sigma_radiance_by_mask_pts(

@@ -224,12 +224,14 @@ class ArcNerfTrainer:
         self._render_scan = jax.jit(self._render_scan_impl)
         self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
         self._fast_fused = jax.jit(self._fast_fused_impl, static_argnums=(4, 5, 6))
+        self._windowed_fused = jax.jit(
+            self._windowed_fused_impl, static_argnums=(5, 6, 7, 8, 9, 10, 11))
         self._optimize_warmup = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, True))
         self._optimize_regular = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, False))
 
         self._last_save_time = time.time()
 
-    def set_render_cap(self, cap, n_sample=None):
+    def set_render_cap(self, cap, n_sample=None, window=False):
         """Set the inference per-ray sample cap (obj_bound.eval_max_pts_per_ray)
         — and optionally an inference-only coarse-ladder size
         (obj_bound.eval_n_sample, fewer fix-step samples per ray) — then
@@ -246,11 +248,17 @@ class ArcNerfTrainer:
             return
         setattr(obj_bound, "eval_max_pts_per_ray", cap)
         setattr(obj_bound, "eval_n_sample", n_sample)
+        # window=True turns the cap into a rank WINDOW (traced offset) and
+        # makes the sampler return the pre-cap march mask — the
+        # transmittance-continuation renderer's contract
+        setattr(obj_bound, "eval_cap_window", bool(window))
         # the bound cache keys on the obj_bound cfg repr, so the next
         # get_obj_bound() builds a bound carrying the new cap
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._render_scan = jax.jit(self._render_scan_impl)
         self._fast_fused = jax.jit(self._fast_fused_impl, static_argnums=(4, 5, 6))
+        self._windowed_fused = jax.jit(
+            self._windowed_fused_impl, static_argnums=(5, 6, 7, 8, 9, 10, 11))
         # the fused fast path traces the prepass ladder too (eval_n_sample)
         self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
 
@@ -875,6 +883,161 @@ class ArcNerfTrainer:
                                                bkg_color=bkg_color, hit_frac=hit_frac, n_probe=n_probe)
         imgs = {k: _bilinear_upsample(v, h, w, off, scale) for k, v in imgs_s.items()}
         stats = dict(stats, scale=scale, shaded_rays=hs * ws)
+        return imgs, stats
+
+    # ------------------------------------- transmittance-continuation render
+    def _windowed_fused_impl(self, params, bound_state, feed, miss_rgb, hit_bkg,
+                             n_probe, n_chunks1, n_chunks2, n_pass, chunk, cap, eps):
+        """One-dispatch transmittance-continuation render — the TPU-shaped
+        equivalent of the reference CUDA renderer's alive-ray compaction
+        rounds (instant-ngp marches rays in rounds, dropping rays whose
+        transmittance passed the cutoff; ns_viewer's adaptive renderer
+        rides the same kernel).
+
+        Pass 0 shades every hit ray's first ``cap`` valid samples (the
+        window). Rays whose residual transmittance T still exceeds ``eps``
+        are rank-compacted into a smaller budget and shaded for the NEXT
+        window of ``cap`` valid samples (cap_offset = pass * cap), their
+        contribution weighted by carried T. Because windows march with the
+        PRE-cap occupancy mask's deltas (fg_model mask_march), per-sample
+        alphas are bit-identical to the full render's, and the T-weighted
+        sum telescopes: the composition is exact for every ray that
+        finishes within n_pass windows (T <= eps bounds the rest).
+        """
+        rays_o, rays_d = feed["rays_o"], feed["rays_d"]
+        n = rays_o.shape[0]
+        hit = self._hit_prepass_impl(bound_state, rays_o, rays_d, n_probe)
+        if hit is None:
+            hit = jnp.ones((n,), bool)
+        budget1 = n_chunks1 * chunk
+        g = jnp.cumsum(hit.astype(jnp.int32)) - 1
+        g = jnp.where(hit, jnp.clip(g, 0, budget1), budget1)
+        sel = jnp.zeros((budget1 + 1,), jnp.int32).at[g].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:budget1]
+        n_hit = jnp.sum(hit.astype(jnp.int32))
+        sel_valid = jnp.arange(budget1, dtype=jnp.int32) < jnp.minimum(n_hit, budget1)
+
+        feed1 = {k: jnp.take(v, sel, axis=0) for k, v in feed.items()}
+
+        def run_pass(feed_p, offset, n_chunks_p):
+            stack = {k: v.reshape((n_chunks_p, 1, chunk) + v.shape[1:]) for k, v in feed_p.items()}
+            stack["cap_offset"] = jnp.full((n_chunks_p,), offset, jnp.int32)
+            outs = self._render_scan_impl(params, bound_state, stack)
+            return {k: v.reshape((n_chunks_p * chunk,) + v.shape[3:]) for k, v in outs.items()}
+
+        out1 = run_pass(feed1, 0, n_chunks1)
+        rgb, depth, mask = out1["rgb"], out1["depth"], out1["mask"]
+        T = jnp.clip(1.0 - mask, 0.0, 1.0)
+        T = jnp.where(sel_valid, T, 0.0)  # padded rows are dead
+
+        budget2 = n_chunks2 * chunk
+        clipped = jnp.zeros((), jnp.int32)
+        for p in range(1, n_pass):
+            alive = T > eps
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            clipped = clipped + jnp.maximum(n_alive - budget2, 0)
+            g2 = jnp.cumsum(alive.astype(jnp.int32)) - 1
+            g2 = jnp.where(alive, jnp.clip(g2, 0, budget2), budget2)
+            sel2 = jnp.zeros((budget2 + 1,), jnp.int32).at[g2].set(
+                jnp.arange(budget1, dtype=jnp.int32), mode="drop")[:budget2]
+            valid2 = jnp.arange(budget2, dtype=jnp.int32) < jnp.minimum(n_alive, budget2)
+            feed2 = {k: jnp.take(v, sel2, axis=0) for k, v in feed1.items()}
+            out2 = run_pass(feed2, p * cap, n_chunks2)
+            w2 = jnp.where(valid2, jnp.take(T, sel2), 0.0)
+            sel2_safe = jnp.where(valid2, sel2, budget1)
+
+            def _acc(acc, contrib, wgt):
+                pad = jnp.zeros((1,) + acc.shape[1:], acc.dtype)
+                wb = wgt.reshape((-1,) + (1,) * (acc.ndim - 1))
+                return jnp.concatenate([acc, pad]).at[sel2_safe].add(wb * contrib)[:budget1]
+
+            rgb = _acc(rgb, out2["rgb"], w2)
+            depth = _acc(depth, out2["depth"], w2)
+            mask = _acc(mask, out2["mask"], w2)
+            t_next = w2 * jnp.clip(1.0 - out2["mask"], 0.0, 1.0)
+            T = jnp.concatenate([T, jnp.zeros((1,), T.dtype)]).at[sel2_safe].set(t_next)[:budget1]
+
+        if hit_bkg is not None:
+            # the full render composites rgb += T_end * bkg inside marching;
+            # windowed passes run bkg-free and composite once here
+            rgb = rgb + T[:, None] * hit_bkg
+
+        sel_safe = jnp.where(sel_valid, sel, n)
+        # miss fills match render_image's update_values_for_invalid_rays:
+        # bkg color for rgb, the model's depth_far for depth, 0 for mask
+        miss_depth = jnp.asarray(
+            float(self.model.fg_model.get_render_cfgs()["depth_far"]), jnp.float32)
+        imgs = {}
+        for k, flat in (("rgb", rgb), ("depth", depth), ("mask", mask)):
+            if k == "rgb":
+                init = jnp.broadcast_to(miss_rgb, (n + 1, 3)).astype(flat.dtype)
+            elif k == "depth":
+                init = jnp.full((n + 1,), miss_depth, flat.dtype)
+            else:
+                init = jnp.zeros((n + 1,) + flat.shape[1:], flat.dtype)
+            imgs[k] = init.at[sel_safe].set(flat)[:n]
+        return imgs, n_hit, jnp.sum((T > eps).astype(jnp.int32)), clipped
+
+    def render_image_windowed(self, sample, n_pass=3, alive_frac=0.5, chunk_rays=None,
+                              bkg_color=None, hit_frac=0.5, n_probe=0, scale=1, eps=1e-3):
+        """Full-image transmittance-continuation render (see
+        _windowed_fused_impl). Requires set_render_cap(cap, window=True)
+        first — the cap becomes the per-pass window length. ``scale`` > 1
+        shades a stride-``scale`` pixel subgrid and bilinear-upsamples
+        (render_image_interactive's adaptive-resolution lever) — the
+        subgrid samples themselves stay eps-exact. Returns (imgs, stats)."""
+        if getattr(self.model, "has_bkg", False) or self.model.fg_model.get_ray_cfgs("white_bkg"):
+            # model-owned backgrounds composite inside marching per pass —
+            # that breaks the T-weighted composition; use the exact path
+            imgs = self.render_image(sample, chunk_rays=chunk_rays, bkg_color=bkg_color)
+            return imgs, {"fallback": "bkg-owning model"}
+        bound = self.model.fg_model.get_obj_bound()
+        assert bound.get_optim_cfgs().get("eval_cap_window"), \
+            "call set_render_cap(cap, window=True) before render_image_windowed"
+        cap = int(bound.get_optim_cfgs("eval_max_pts_per_ray"))
+
+        h, w = int(sample["H"]), int(sample["W"])
+        scale = max(1, int(scale))
+        if scale > 1:
+            off = scale // 2
+            hs, ws = len(range(off, h, scale)), len(range(off, w, scale))
+            sub = {"H": hs, "W": ws}
+            for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+                if k in sample and sample[k] is not None:
+                    arr = np.asarray(sample[k])
+                    grid = arr.reshape((h, w) + arr.shape[1:])
+                    sub[k] = grid[off::scale, off::scale].reshape((hs * ws,) + arr.shape[1:])
+            imgs_s, stats = self.render_image_windowed(
+                sub, n_pass=n_pass, alive_frac=alive_frac, chunk_rays=chunk_rays,
+                bkg_color=bkg_color, hit_frac=hit_frac, n_probe=n_probe, eps=eps)
+            imgs = {k: _bilinear_upsample(v, h, w, off, scale) for k, v in imgs_s.items()}
+            return imgs, dict(stats, scale=scale, shaded_rays=hs * ws)
+
+        chunk_rays = self._chunk_for_mesh(chunk_rays)
+        n = sample["rays_o"].shape[0]
+        budget1 = max(chunk_rays, int(-(-(n * hit_frac) // chunk_rays)) * chunk_rays)
+        n_chunks1 = budget1 // chunk_rays
+        budget2 = max(chunk_rays, int(-(-(budget1 * alive_frac) // chunk_rays)) * chunk_rays)
+        n_chunks2 = budget2 // chunk_rays
+
+        feed = {}
+        for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+            if k in sample and sample[k] is not None:
+                feed[k] = jnp.asarray(np.asarray(sample[k]))
+        # NOTE: bkg_color deliberately NOT fed to the model (see impl)
+        if bkg_color is not None:
+            miss = np.asarray(bkg_color, dtype=np.float32)
+        else:
+            miss = np.zeros(3, dtype=np.float32)
+        hit_bkg = jnp.asarray(miss) if np.any(miss != 0.0) else None
+
+        flat, n_hit, n_alive_end, clipped = self._windowed_fused(
+            self.eval_params(), self.state["bound_state"], feed, jnp.asarray(miss),
+            hit_bkg, n_probe, n_chunks1, n_chunks2, n_pass, chunk_rays, cap, float(eps))
+        imgs = {k: np.asarray(v).reshape((h, w) + v.shape[1:]) for k, v in flat.items()}
+        stats = {"hit_frac": int(n_hit) / max(n, 1), "budget_rays": budget1,
+                 "pass_budget_rays": budget2, "n_pass": n_pass, "cap": cap,
+                 "alive_at_end": int(n_alive_end), "clipped_alive": int(clipped)}
         return imgs, stats
 
     # ------------------------------------------------------------- main loop

@@ -203,6 +203,7 @@ def test_trainer_model_parallel_smoke():
         assert np.isfinite(last) and last < first, "loss should fall: {} -> {}".format(first, last)
 
 
+@pytest.mark.slow  # spawns two jax.distributed processes (~55 s); nightly tier
 def test_two_process_multihost_grad_parity():
     """Real jax.distributed path running the REAL tiny-NGP train step (the
     same program __graft_entry__.dryrun_multichip compiles): spawn 2

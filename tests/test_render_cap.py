@@ -21,6 +21,22 @@ from arcnerf_tpu.utils.cfgs import load_configs, update_configs_by_dotlist  # no
 CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "expr", "synthetic_ngp.yaml")
 
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def shared_trainer(tmp_path_factory):
+    """One tiny trained NGP trainer for the whole module: every test here
+    needs the same 24-epoch occupancy-structured model, and building +
+    training it per test dominated the fast tier (~170 s across 5 tests).
+    Tests MUST set their own render cap up front (set_render_cap re-jits)
+    and restore nothing — the next test sets its own."""
+    d = str(tmp_path_factory.mktemp("render_cap"))
+    trainer = _tiny_trainer(d)
+    trainer.train()
+    return trainer
+
+
 def _tiny_trainer(d):
     cfgs = load_configs(CFG)
     update_configs_by_dotlist(cfgs, [
@@ -47,10 +63,9 @@ def _tiny_trainer(d):
     return ArcNerfTrainer(cfgs)
 
 
-def test_render_cap_retrace_and_budget_shrink():
-    with tempfile.TemporaryDirectory() as d:
-        trainer = _tiny_trainer(d)
-        trainer.train()  # a few steps so occupancy has structure
+def test_render_cap_retrace_and_budget_shrink(shared_trainer):
+    if True:
+        trainer = shared_trainer
         sample = trainer.data["val"][0]
         bkg = trainer.eval_bkg_color("val")
 
@@ -86,17 +101,15 @@ def test_render_cap_retrace_and_budget_shrink():
         assert cap_budget < budget, "test setup: shrunk budget must be smaller"
 
 
-def test_render_image_fast_matches_full():
+def test_render_image_fast_matches_full(shared_trainer):
     """render_image_fast: occupancy pre-pass + ray compaction must agree
     with the full render on hit rays (identical program on the same rays)
     and composite background zeros on misses; stats report the hit
     fraction and clipping."""
     import jax.numpy as jnp
 
-    with tempfile.TemporaryDirectory() as d:
-        trainer = _tiny_trainer(d)
-        for ep in range(24):
-            trainer.train_steps(ep, 1)
+    if True:
+        trainer = shared_trainer
         from arcnerf_tpu.datasets import get_dataset
 
         cfgs = load_configs(CFG)
@@ -131,14 +144,12 @@ def test_render_image_fast_matches_full():
         np.testing.assert_allclose(np.asarray(fast["mask"]).reshape(-1)[miss], 0.0, atol=1e-6)
 
 
-def test_render_image_interactive_upsample():
+def test_render_image_interactive_upsample(shared_trainer):
     """render_image_interactive: stride-subgrid render + bilinear upsample
     must return full-frame shapes, stay a close approximation of the full
     render, and pass scale-1 straight through to the fast path."""
-    with tempfile.TemporaryDirectory() as d:
-        trainer = _tiny_trainer(d)
-        for ep in range(24):
-            trainer.train_steps(ep, 1)
+    if True:
+        trainer = shared_trainer
         from arcnerf_tpu.datasets import get_dataset
 
         cfgs = load_configs(CFG)
@@ -162,14 +173,12 @@ def test_render_image_interactive_upsample():
         np.testing.assert_allclose(one["rgb"], fast["rgb"], atol=1e-6)
 
 
-def test_render_eval_n_sample_override():
+def test_render_eval_n_sample_override(shared_trainer):
     """set_render_cap(cap, n_sample=...) must render at a coarser
     inference ladder (fewer fix-step samples), retrace, and stay a close
     approximation of the full-ladder render."""
-    with tempfile.TemporaryDirectory() as d:
-        trainer = _tiny_trainer(d)
-        for ep in range(24):
-            trainer.train_steps(ep, 1)
+    if True:
+        trainer = shared_trainer
         from arcnerf_tpu.datasets import get_dataset
 
         cfgs = load_configs(CFG)
@@ -190,3 +199,40 @@ def test_render_eval_n_sample_override():
         trainer.set_render_cap(None, n_sample=None)
         restored = trainer.render_image(s, chunk_rays=256)
         assert restored["rgb"].shape == full["rgb"].shape
+
+
+def test_render_image_windowed_matches_full(shared_trainer):
+    """Transmittance-continuation render (VERDICT r3 item 3): with enough
+    passes to cover every ray's valid samples (n_pass * cap >= n_sample)
+    the windowed render must reproduce the full render to float tolerance
+    — windows march with the pre-cap occupancy deltas, so per-sample
+    alphas are identical and the T-weighted sum telescopes exactly."""
+    if True:
+        trainer = shared_trainer
+        sample = trainer.data["val"][0]
+        bkg = trainer.eval_bkg_color("val")
+
+        trainer.set_render_cap(None)
+        full = trainer.render_image(sample, bkg_color=bkg, chunk_rays=256)
+
+        # window length 8, 4 passes -> covers all 32 ladder samples
+        trainer.set_render_cap(8, window=True)
+        win, stats = trainer.render_image_windowed(
+            sample, n_pass=4, alive_frac=1.0, chunk_rays=256, bkg_color=bkg,
+            hit_frac=1.0, eps=0.0)
+        assert stats["clipped_alive"] == 0
+        np.testing.assert_allclose(np.asarray(win["rgb"]), np.asarray(full["rgb"]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(win["depth"]), np.asarray(full["depth"]), atol=1e-4)
+
+        # eps cutoff: a realistic eps must stay visually exact (worst-case
+        # per-pixel error is bounded by eps) while finishing early
+        win2, stats2 = trainer.render_image_windowed(
+            sample, n_pass=2, alive_frac=1.0, chunk_rays=256, bkg_color=bkg,
+            hit_frac=1.0, eps=1e-3)
+        err = np.abs(np.asarray(win2["rgb"]) - np.asarray(full["rgb"])).max()
+        mse = float(np.mean((np.asarray(win2["rgb"]) - np.asarray(full["rgb"])) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 30.0, (psnr, err, stats2)
+
+        # restore plain-cap mode for other tests
+        trainer.set_render_cap(None)
