@@ -262,7 +262,12 @@ class VolumeBound(BasicBound):
         # bitfield gather — no (B*N, 3) point tensor (see volume.py
         # get_flat_voxel_idx_from_coords for the layout rationale)
         mask_pts = mask_pts & _occ_mask_soa(self.volume, state["bitfield"], rays_o, rays_d, zvals)
-        window = bool(self.get_optim_cfgs("eval_cap_window")) and inference_only
+        # window mode engages only when the caller actually feeds a window
+        # offset (render_image_windowed passes cap_offset on EVERY pass,
+        # including 0) — plain renders on the same trainer/cfg keep exact
+        # plain-cap behavior even while eval_cap_window is set
+        window = (bool(self.get_optim_cfgs("eval_cap_window")) and inference_only
+                  and cap_offset is not None)
         mask_cap = _cap_pts_per_ray(
             mask_pts, inference_only, self.get_optim_cfgs("eval_max_pts_per_ray"),
             offset=cap_offset if window else None)
@@ -400,7 +405,12 @@ class BitfieldBound(BasicBound):
         fix_t = self.volume.get_diag_len() / n_pts
         zvals, mask_pts = get_zvals_from_near_far_fix_step(near, far, fix_t, n_pts, key=perturb_key)
         mask_pts = mask_pts & _occ_mask_soa(self.volume, state["bitfield"], rays_o, rays_d, zvals)
-        window = bool(self.get_optim_cfgs("eval_cap_window")) and inference_only
+        # window mode engages only when the caller actually feeds a window
+        # offset (render_image_windowed passes cap_offset on EVERY pass,
+        # including 0) — plain renders on the same trainer/cfg keep exact
+        # plain-cap behavior even while eval_cap_window is set
+        window = (bool(self.get_optim_cfgs("eval_cap_window")) and inference_only
+                  and cap_offset is not None)
         mask_cap = _cap_pts_per_ray(
             mask_pts, inference_only, self.get_optim_cfgs("eval_max_pts_per_ray"),
             offset=cap_offset if window else None)

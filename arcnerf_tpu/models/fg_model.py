@@ -189,6 +189,12 @@ class FgModel(Base3dModel):
                 output, mask_rays, bkg_color, zero_fill=windowed)
         if mask_pts is not None:
             output["n_valid_pts"] = jnp.sum(mask_pts)
+        if windowed:
+            # per-ray window fill count: the continuation renderer keeps a
+            # ray alive only while its window came back FULL (a partial
+            # window means the ray exhausted its valid samples — escaping
+            # rays never saturate T and must not occupy pass budgets)
+            output["n_win_pts"] = jnp.sum(mask_pts.astype(jnp.int32), axis=1)
         return output
 
     def _forward(self, inputs, inference_only=False, get_progress=False, cur_epoch=0, total_epoch=300000):

@@ -929,11 +929,14 @@ class ArcNerfTrainer:
         rgb, depth, mask = out1["rgb"], out1["depth"], out1["mask"]
         T = jnp.clip(1.0 - mask, 0.0, 1.0)
         T = jnp.where(sel_valid, T, 0.0)  # padded rows are dead
+        # a ray can have more samples only if its window came back FULL —
+        # escaping rays never saturate T and must not hold pass budgets
+        may_more = out1.get("n_win_pts", jnp.full((budget1,), cap)) >= cap
 
         budget2 = n_chunks2 * chunk
         clipped = jnp.zeros((), jnp.int32)
         for p in range(1, n_pass):
-            alive = T > eps
+            alive = (T > eps) & may_more
             n_alive = jnp.sum(alive.astype(jnp.int32))
             clipped = clipped + jnp.maximum(n_alive - budget2, 0)
             g2 = jnp.cumsum(alive.astype(jnp.int32)) - 1
@@ -956,6 +959,10 @@ class ArcNerfTrainer:
             mask = _acc(mask, out2["mask"], w2)
             t_next = w2 * jnp.clip(1.0 - out2["mask"], 0.0, 1.0)
             T = jnp.concatenate([T, jnp.zeros((1,), T.dtype)]).at[sel2_safe].set(t_next)[:budget1]
+            if "n_win_pts" in out2:
+                full2 = (out2["n_win_pts"] >= cap) & valid2
+                may_more = jnp.concatenate(
+                    [may_more, jnp.zeros((1,), bool)]).at[sel2_safe].set(full2)[:budget1] & may_more
 
         if hit_bkg is not None:
             # the full render composites rgb += T_end * bkg inside marching;
@@ -976,7 +983,7 @@ class ArcNerfTrainer:
             else:
                 init = jnp.zeros((n + 1,) + flat.shape[1:], flat.dtype)
             imgs[k] = init.at[sel_safe].set(flat)[:n]
-        return imgs, n_hit, jnp.sum((T > eps).astype(jnp.int32)), clipped
+        return imgs, n_hit, jnp.sum(((T > eps) & may_more).astype(jnp.int32)), clipped
 
     def render_image_windowed(self, sample, n_pass=3, alive_frac=0.5, chunk_rays=None,
                               bkg_color=None, hit_frac=0.5, n_probe=0, scale=1, eps=1e-3):

@@ -24,12 +24,31 @@ class ArcNerfViewerTrainer(ArcNerfTrainer):
         self.viewer_control = TrainControl()
         import os
 
+        # one render cfg serves both tiers (no re-jit between them): the
+        # per-ray cap is the moving-tier approximation AND the window
+        # length of the settle tier (window mode engages only when
+        # cap_offset is fed, so the plain fast render stays plain-cap)
+        self._viewer_cap = 8
+        self._viewer_eps = 1e-3
+        if valid_key_in_cfgs(cfgs.model, "obj_bound"):
+            self.set_render_cap(self._viewer_cap, window=True)
+
         self.viewer_state = ViewerState(
             self._viewer_render_fn, src.get_intrinsic(), (src.W, src.H),
             train_state_info={"step": 0},
             scene_graph=build_scene_graph(src, bounds=bounds),
             control=self.viewer_control,
             render_image_fn=self._viewer_render_image,
+            render_tier_fns={
+                "fast": self._viewer_render_image,
+                "exact": self._viewer_render_exact,
+            },
+            tier_quality={
+                "fast": {"kind": "first-{} samples/ray approximation".format(self._viewer_cap)},
+                "exact": {"kind": "transmittance-continuation",
+                          "eps": self._viewer_eps,
+                          "note": "per-pixel error bounded by eps"},
+            },
             save_dir=self.expr_dir,
             export_info={
                 "configs": os.path.join(self.expr_dir, "cfgs.yaml"),
@@ -65,6 +84,22 @@ class ArcNerfViewerTrainer(ArcNerfTrainer):
         n = sample["rays_o"].shape[0]
         chunk = min(8192, max(self.mesh.devices.size, n))
         imgs, _ = self.render_image_fast(sample, chunk_rays=chunk, hit_frac=0.6)
+        return imgs
+
+    def _viewer_render_exact(self, sample):
+        """Settle tier: transmittance-continuation render — exact up to the
+        eps transmittance cutoff (render_image_windowed), same cfg (cap =
+        window length) as the moving tier so no retrace on tier switch."""
+        try:
+            n_sample = int(self.model.fg_model.get_ray_cfgs("n_sample"))
+        except Exception:
+            n_sample = 128
+        n_pass = max(1, -(-n_sample // self._viewer_cap))
+        n = sample["rays_o"].shape[0]
+        chunk = min(8192, max(self.mesh.devices.size, n))
+        imgs, _ = self.render_image_windowed(
+            sample, n_pass=n_pass, alive_frac=0.5, chunk_rays=chunk,
+            hit_frac=0.6, eps=self._viewer_eps)
         return imgs
 
     def epoch_hook(self, epoch, stats):

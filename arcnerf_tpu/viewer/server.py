@@ -75,7 +75,22 @@ def build_scene_graph(dataset, bounds=None, max_thumbs=24, thumb_px=96):
     }
     if bounds:
         graph["bounds"] = bounds
+    # sparse point cloud (COLMAP captures) -> client scene overlay
+    # (reference ns_viewer scene tree shows dataset geometry)
+    pc = getattr(dataset, "point_cloud", None)
+    if pc is not None and pc.get("pts") is not None and len(pc["pts"]):
+        graph["points"] = _pack_points(pc["pts"], pc.get("color"))
     return graph
+
+
+def _pack_points(pts, colors=None, max_points=4096):
+    """Subsample points (+optional colors) to a JSON-friendly payload."""
+    pts = np.asarray(pts, dtype=np.float32)
+    take = np.linspace(0, len(pts) - 1, min(len(pts), max_points)).astype(int)
+    out = {"xyz": np.round(pts[take], 4).tolist()}
+    if colors is not None and len(colors) == len(pts):
+        out["rgb"] = np.round(np.clip(np.asarray(colors)[take], 0, 1), 3).tolist()
+    return out
 
 
 def colorize_output(imgs, mode="rgb"):
@@ -106,8 +121,16 @@ class ViewerState:
 
     def __init__(self, render_chunk_fn, intrinsic, wh, chunk_rays=8192, train_state_info=None,
                  scene_graph=None, control=None, render_image_fn=None, save_dir=None,
-                 export_info=None):
+                 export_info=None, render_tier_fns=None, tier_quality=None):
         self.render_chunk_fn = render_chunk_fn
+        # named render TIERS (reference settle-res behavior,
+        # ns_viewer/server/viewer_utils.py:657): the client renders through
+        # a cheap tier while the camera moves and escalates to an exact
+        # tier on settle. Each fn: sample dict -> imgs dict. tier_quality
+        # carries the calibration shown in the client badge (e.g. measured
+        # psnr_vs_full from bench.py, or an eps error bound).
+        self.render_tier_fns = render_tier_fns or {}
+        self.tier_quality = tier_quality or {}
         # where client-authored camera paths get written (reference
         # _check_camera_path_payload, ns_viewer/server/viewer_utils.py:323)
         self.save_dir = save_dir or "."
@@ -131,13 +154,15 @@ class ViewerState:
         with self._lock:
             self.render_chunk_fn = render_chunk_fn
 
-    def render_pose(self, c2w, res=128, mode="rgb"):
+    def render_pose(self, c2w, res=128, mode="rgb", tier=None):
         """c2w (4, 4) -> (h, w, 3) uint8 at the closest ladder resolution.
 
         ``mode`` selects the render output like the reference app's
         render-type dropdown (ns_viewer/server/viewer_utils.py:205-657):
         'rgb', 'depth' (turbo-colormapped, robust-normalized), or 'mask'
-        (accumulated opacity, grayscale).
+        (accumulated opacity, grayscale). ``tier`` selects a named render
+        program from render_tier_fns (settle-to-exact); None falls back to
+        render_image_fn / the chunked renderer.
         """
         res = min(self.RES_LADDER, key=lambda r: abs(r - res))
         scale = res / max(self.W, self.H)
@@ -156,19 +181,28 @@ class ViewerState:
         sample = {"rays_o": np.asarray(ro), "rays_d": np.asarray(rd), "rays_r": np.asarray(rr),
                   "H": h, "W": w}
         with self._lock:
-            if self.render_image_fn is not None:
+            fn = self.render_tier_fns.get(tier)
+            if fn is not None:
+                imgs = fn(sample)
+            elif self.render_image_fn is not None:
                 imgs = self.render_image_fn(sample)
             else:
                 imgs = render_full_image(self.render_chunk_fn, sample, self.chunk_rays)
         return colorize_output(imgs, mode)
 
-    def render_jpeg_b64(self, c2w, res=128, quality=80, mode="rgb"):
+    def render_jpeg_b64(self, c2w, res=128, quality=80, mode="rgb", tier=None):
         import cv2
 
-        frame = self.render_pose(c2w, res, mode)
+        frame = self.render_pose(c2w, res, mode, tier=tier)
         ok, buf = cv2.imencode(".jpg", frame[..., ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), quality])
         assert ok
         return base64.b64encode(buf.tobytes()).decode()
+
+    def add_geometry(self, name, pts, colors=None):
+        """Register extracted geometry (mesh verts / point cloud) for the
+        client scene overlay (reference ns_viewer scene tree)."""
+        geo = self.scene_graph.setdefault("geometry", {})
+        geo[name] = _pack_points(pts, colors)
 
     def save_camera_path(self, c2ws, filename="viewer_camera_path.json"):
         """Write a client-authored camera path as the nerfstudio-style json
@@ -255,13 +289,18 @@ def make_app(state):
                 c2w = np.asarray(msg["c2w"], dtype=np.float64).reshape(4, 4)
                 res = int(msg.get("res", 128))
                 mode = str(msg.get("mode", "rgb"))
+                tier = msg.get("tier")
+                if tier is not None and tier not in state.render_tier_fns:
+                    tier = None
                 t0 = time.perf_counter()
-                jpeg = state.render_jpeg_b64(c2w, res, mode=mode)
+                jpeg = state.render_jpeg_b64(c2w, res, mode=mode, tier=tier)
                 self.write_message(json.dumps({
                     "type": "frame",
                     "jpeg": jpeg,
                     "res": res,
                     "mode": mode,
+                    "tier": tier or "fast",
+                    "tier_quality": state.tier_quality.get(tier or "fast"),
                     "render_ms": round((time.perf_counter() - t0) * 1000, 1),
                     "info": state.train_state_info,
                     "paused": bool(state.control is not None and state.control.paused),

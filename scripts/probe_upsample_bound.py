@@ -62,13 +62,23 @@ def main():
     sample = val_ds[0]
     h, w = int(sample["H"]), int(sample["W"])
 
-    trainer.set_render_cap(16)
+    # ground truth: the UNCAPPED full render (this scene keeps many valid
+    # samples per ray, so a capped render is itself an approximation)
+    trainer.set_render_cap(None)
     t0 = time.perf_counter()
-    full, _ = trainer.render_image_fast(sample, bkg_color=trainer.eval_bkg_color("val"))
+    full = trainer.render_image(sample, bkg_color=trainer.eval_bkg_color("val"))
     rgb_full = np.asarray(full["rgb"], np.float32)
     rgb_full.ravel()[0]
     t_full = time.perf_counter() - t0
-    print("exact compact render: {:.0f} ms".format(t_full * 1e3), flush=True)
+    print("uncapped full render: {:.0f} ms".format(t_full * 1e3), flush=True)
+
+    trainer.set_render_cap(16)
+    t0 = time.perf_counter()
+    comp, _ = trainer.render_image_fast(sample, bkg_color=trainer.eval_bkg_color("val"))
+    np.asarray(comp["rgb"]).ravel()[0]
+    print("compact cap-16 render: {:.0f} ms  {:.2f} dB vs full".format(
+        (time.perf_counter() - t0) * 1e3,
+        psnr(np.asarray(comp["rgb"], np.float32), rgb_full)), flush=True)
 
     for s in (2, 3, 4):
         off = s // 2
@@ -105,16 +115,16 @@ def main():
         return out, min(ts)
 
     bkg = trainer.eval_bkg_color("val")
-    for cap, n_pass in ((8, 3), (6, 4)):
+    for cap, n_pass, af in ((8, 3, 0.25), (8, 6, 0.25)):
         trainer.set_render_cap(cap, window=True)
-        for s in (1, 2, 3):
+        for s in (1, 2, 3, 4):
             (imgs, stats), t = timed_frames(
                 lambda s=s: trainer.render_image_windowed(
-                    sample, n_pass=n_pass, alive_frac=0.4, bkg_color=bkg, scale=s))
+                    sample, n_pass=n_pass, alive_frac=af, bkg_color=bkg, scale=s))
             p = psnr(np.asarray(imgs["rgb"], np.float32), rgb_full)
-            print("windowed cap{} x{} scale {}: {:6.0f} ms ({:4.2f} fps)  "
+            print("windowed cap{} x{} af{} scale {}: {:6.0f} ms ({:4.2f} fps)  "
                   "{:.2f} dB vs full  alive_end {} clipped {}".format(
-                      cap, n_pass, s, t * 1e3, 1.0 / t, p,
+                      cap, n_pass, af, s, t * 1e3, 1.0 / t, p,
                       stats.get("alive_at_end"), stats.get("clipped_alive")), flush=True)
     trainer.set_render_cap(16)
 

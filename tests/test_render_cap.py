@@ -234,5 +234,13 @@ def test_render_image_windowed_matches_full(shared_trainer):
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr > 30.0, (psnr, err, stats2)
 
+        # window cfg must NOT leak into plain renders (no cap_offset fed):
+        # render_image under window=True behaves as the plain cap
+        trainer.set_render_cap(8, window=True)
+        plain_win = trainer.render_image(sample, bkg_color=bkg, chunk_rays=256)
+        trainer.set_render_cap(8, window=False)
+        plain = trainer.render_image(sample, bkg_color=bkg, chunk_rays=256)
+        np.testing.assert_allclose(np.asarray(plain_win["rgb"]), np.asarray(plain["rgb"]), atol=1e-6)
+
         # restore plain-cap mode for other tests
         trainer.set_render_cap(None)

@@ -212,3 +212,70 @@ def test_save_camera_path_and_export(tmp_path):
     assert export["type"] == "export"
     assert "cfg.yaml" in export["commands"]["video"]
     assert "ck.ckpt" in export["commands"]["mesh+pointcloud"]
+
+
+def test_camera_path_roundtrip_inferencer(tmp_path):
+    """Path-editor -> nerfstudio json -> Inferencer.read_json_cam round
+    trip (VERDICT r3 item 9): the file the viewer writes must parse back
+    into the exact c2w matrices through the inference custom-path reader."""
+    from arcnerf_tpu.evaluation.infer_func import Inferencer
+
+    state = make_state()
+    state.save_dir = str(tmp_path)
+    c2ws = [np.asarray(look_at(np.array([np.cos(a), 0.3, np.sin(a)]) * 3.0,
+                               np.zeros(3)), dtype=np.float64)
+            for a in (0.0, 1.2, 2.4)]
+    path = state.save_camera_path(c2ws, "path.json")
+    back = Inferencer.read_json_cam(path)
+    assert back.shape == (3, 4, 4)
+    np.testing.assert_allclose(back, np.stack(c2ws), atol=1e-12)
+
+
+def test_render_tiers_and_quality_badge():
+    """Named render tiers (settle-to-exact): the tier fn is selected per
+    request, unknown tiers fall back, and tier_quality rides the state."""
+    calls = []
+
+    def _frame(sample):
+        h, w = int(sample["H"]), int(sample["W"])
+        out = fake_render_chunk({"rays_d": sample["rays_d"][None]})
+        return {k: np.asarray(v).reshape((h, w) + v.shape[2:]) for k, v in out.items()}
+
+    def tier_exact(sample):
+        calls.append("exact")
+        return _frame(sample)
+
+    def tier_fast(sample):
+        calls.append("fast")
+        return _frame(sample)
+
+    intrinsic = np.array([[100.0, 0, 64.0], [0, 100.0, 64.0], [0, 0, 1]])
+    state = ViewerState(
+        fake_render_chunk, intrinsic, (128, 128), chunk_rays=2048,
+        render_tier_fns={"fast": tier_fast, "exact": tier_exact},
+        tier_quality={"exact": {"kind": "transmittance-continuation", "eps": 1e-3}})
+    c2w = look_at(np.array([0.0, 0.0, 3.0]), np.zeros(3))
+    f1 = state.render_pose(c2w, res=64, tier="fast")
+    f2 = state.render_pose(c2w, res=64, tier="exact")
+    assert calls == ["fast", "exact"]
+    assert f1.shape == f2.shape
+    assert state.tier_quality["exact"]["eps"] == 1e-3
+    # unknown tier (None) falls back to the chunked renderer, no crash
+    f3 = state.render_pose(c2w, res=64, tier=None)
+    assert f3.shape == f1.shape
+
+
+def test_scene_graph_points_and_geometry():
+    """Dataset point clouds and extracted geometry land in the scene graph
+    (reference ns_viewer scene tree shows dataset/extracted geometry)."""
+    from arcnerf_tpu.viewer.server import _pack_points
+
+    state = make_state()
+    pts = np.random.default_rng(0).uniform(-1, 1, size=(10000, 3)).astype(np.float32)
+    colors = np.random.default_rng(1).uniform(0, 1, size=(10000, 3)).astype(np.float32)
+    state.add_geometry("extracted_mesh", pts, colors)
+    geo = state.scene_graph["geometry"]["extracted_mesh"]
+    assert len(geo["xyz"]) <= 4096 and len(geo["xyz"]) == len(geo["rgb"])
+
+    packed = _pack_points(pts[:5])
+    assert len(packed["xyz"]) == 5 and "rgb" not in packed
