@@ -225,7 +225,7 @@ class ArcNerfTrainer:
         self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
         self._fast_fused = jax.jit(self._fast_fused_impl, static_argnums=(4, 5, 6))
         self._windowed_fused = jax.jit(
-            self._windowed_fused_impl, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+            self._windowed_fused_impl, static_argnums=(5, 6, 7, 8, 9, 10))
         self._optimize_warmup = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, True))
         self._optimize_regular = jax.jit(lambda p, b, k: self._optimize_impl(p, b, k, False))
 
@@ -258,7 +258,7 @@ class ArcNerfTrainer:
         self._render_scan = jax.jit(self._render_scan_impl)
         self._fast_fused = jax.jit(self._fast_fused_impl, static_argnums=(4, 5, 6))
         self._windowed_fused = jax.jit(
-            self._windowed_fused_impl, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+            self._windowed_fused_impl, static_argnums=(5, 6, 7, 8, 9, 10))
         # the fused fast path traces the prepass ladder too (eval_n_sample)
         self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
 
@@ -887,7 +887,7 @@ class ArcNerfTrainer:
 
     # ------------------------------------- transmittance-continuation render
     def _windowed_fused_impl(self, params, bound_state, feed, miss_rgb, hit_bkg,
-                             n_probe, n_chunks1, n_chunks2, n_pass, chunk, cap, eps):
+                             n_probe, n_chunks1, n_chunks_passes, chunk, cap, eps):
         """One-dispatch transmittance-continuation render — the TPU-shaped
         equivalent of the reference CUDA renderer's alive-ray compaction
         rounds (instant-ngp marches rays in rounds, dropping rays whose
@@ -902,7 +902,13 @@ class ArcNerfTrainer:
         PRE-cap occupancy mask's deltas (fg_model mask_march), per-sample
         alphas are bit-identical to the full render's, and the T-weighted
         sum telescopes: the composition is exact for every ray that
-        finishes within n_pass windows (T <= eps bounds the rest).
+        finishes within the pass ladder (T <= eps bounds the rest).
+
+        ``n_chunks_passes`` is a static tuple of per-pass chunk counts —
+        alive rays DRAIN geometrically as transmittance saturates, so
+        later passes ride shrinking budgets instead of paying pass-1's
+        ray count every round (the reference CUDA renderer's alive-ray
+        compaction shrinks the launch the same way each round).
         """
         rays_o, rays_d = feed["rays_o"], feed["rays_d"]
         n = rays_o.shape[0]
@@ -933,9 +939,9 @@ class ArcNerfTrainer:
         # escaping rays never saturate T and must not hold pass budgets
         may_more = out1.get("n_win_pts", jnp.full((budget1,), cap)) >= cap
 
-        budget2 = n_chunks2 * chunk
         clipped = jnp.zeros((), jnp.int32)
-        for p in range(1, n_pass):
+        for p, n_chunks2 in enumerate(n_chunks_passes, start=1):
+            budget2 = n_chunks2 * chunk
             alive = (T > eps) & may_more
             n_alive = jnp.sum(alive.astype(jnp.int32))
             clipped = clipped + jnp.maximum(n_alive - budget2, 0)
@@ -986,13 +992,28 @@ class ArcNerfTrainer:
         return imgs, n_hit, jnp.sum(((T > eps) & may_more).astype(jnp.int32)), clipped
 
     def render_image_windowed(self, sample, n_pass=3, alive_frac=0.5, chunk_rays=None,
-                              bkg_color=None, hit_frac=0.5, n_probe=0, scale=1, eps=1e-3):
+                              bkg_color=None, hit_frac=0.5, n_probe=0, scale=1, eps=1e-3,
+                              adaptive_budget=True, refine_frac=0.0):
         """Full-image transmittance-continuation render (see
         _windowed_fused_impl). Requires set_render_cap(cap, window=True)
         first — the cap becomes the per-pass window length. ``scale`` > 1
         shades a stride-``scale`` pixel subgrid and bilinear-upsamples
         (render_image_interactive's adaptive-resolution lever) — the
-        subgrid samples themselves stay eps-exact. Returns (imgs, stats)."""
+        subgrid samples themselves stay eps-exact.
+
+        ``adaptive_budget`` sizes the pass-1 ray budget from a real hit
+        COUNT (one cheap prepass dispatch, bucketed to power-of-2 chunk
+        counts so at most log2 shapes ever compile) instead of the blind
+        ``hit_frac`` guess — a dense view can exceed hit_frac*n hit rays,
+        and clipped hit rays render as background (the silent 25 dB
+        cliff measured in scripts/probe_upsample_bound.py).
+
+        ``refine_frac`` > 0 (with scale > 1) re-renders the top
+        refine_frac fraction of NON-subgrid pixels ranked by upsampled
+        luminance gradient through the same eps-exact windowed path and
+        scatters them into the frame — edges are where bilinear
+        upsampling errs (measured +1.4 dB at scale 2 refining 20%).
+        Returns (imgs, stats)."""
         if getattr(self.model, "has_bkg", False) or self.model.fg_model.get_ray_cfgs("white_bkg"):
             # model-owned backgrounds composite inside marching per pass —
             # that breaks the T-weighted composition; use the exact path
@@ -1009,28 +1030,70 @@ class ArcNerfTrainer:
             off = scale // 2
             hs, ws = len(range(off, h, scale)), len(range(off, w, scale))
             sub = {"H": hs, "W": ws}
+            arrs = {}
             for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
                 if k in sample and sample[k] is not None:
                     arr = np.asarray(sample[k])
+                    arrs[k] = arr
                     grid = arr.reshape((h, w) + arr.shape[1:])
                     sub[k] = grid[off::scale, off::scale].reshape((hs * ws,) + arr.shape[1:])
             imgs_s, stats = self.render_image_windowed(
                 sub, n_pass=n_pass, alive_frac=alive_frac, chunk_rays=chunk_rays,
-                bkg_color=bkg_color, hit_frac=hit_frac, n_probe=n_probe, eps=eps)
+                bkg_color=bkg_color, hit_frac=hit_frac, n_probe=n_probe, eps=eps,
+                adaptive_budget=adaptive_budget)
             imgs = {k: _bilinear_upsample(v, h, w, off, scale) for k, v in imgs_s.items()}
-            return imgs, dict(stats, scale=scale, shaded_rays=hs * ws)
+            stats = dict(stats, scale=scale, shaded_rays=hs * ws)
+            if refine_frac > 0.0:
+                ridx = self._refine_pixel_select(imgs["rgb"], h, w, off, scale, refine_frac)
+                if ridx.size:
+                    rsub = {"H": 1, "W": int(ridx.size)}
+                    for k, arr in arrs.items():
+                        rsub[k] = arr[ridx]
+                    rimgs, rstats = self.render_image_windowed(
+                        rsub, n_pass=n_pass, alive_frac=alive_frac, chunk_rays=chunk_rays,
+                        bkg_color=bkg_color, hit_frac=1.0, n_probe=n_probe, eps=eps,
+                        adaptive_budget=adaptive_budget)
+                    for k in imgs:
+                        if k in rimgs:
+                            flat_img = imgs[k].reshape((h * w,) + imgs[k].shape[2:])
+                            flat_img[ridx] = rimgs[k].reshape((ridx.size,) + imgs[k].shape[2:])
+                            imgs[k] = flat_img.reshape(imgs[k].shape)
+                    stats = dict(stats, refined_rays=int(ridx.size),
+                                 refine_hit_frac=rstats.get("hit_frac"))
+            return imgs, stats
 
         chunk_rays = self._chunk_for_mesh(chunk_rays)
         n = sample["rays_o"].shape[0]
-        budget1 = max(chunk_rays, int(-(-(n * hit_frac) // chunk_rays)) * chunk_rays)
-        n_chunks1 = budget1 // chunk_rays
-        budget2 = max(chunk_rays, int(-(-(budget1 * alive_frac) // chunk_rays)) * chunk_rays)
-        n_chunks2 = budget2 // chunk_rays
 
         feed = {}
         for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
             if k in sample and sample[k] is not None:
                 feed[k] = jnp.asarray(np.asarray(sample[k]))
+
+        n_chunks_max = int(-(-n // chunk_rays))
+        if adaptive_budget:
+            # real hit count -> next power-of-2 chunk budget (>= covers
+            # every hit ray; bounded compile variants)
+            hit = self._hit_prepass(
+                self.state["bound_state"], feed["rays_o"], feed["rays_d"], n_probe)
+            if hit is None:
+                n_chunks1 = n_chunks_max
+            else:
+                n_hit_pre = int(jnp.sum(hit.astype(jnp.int32)))
+                need = max(1, int(-(-n_hit_pre // chunk_rays)))
+                n_chunks1 = 1
+                while n_chunks1 < need:
+                    n_chunks1 *= 2
+                n_chunks1 = min(n_chunks1, n_chunks_max)
+        else:
+            budget1 = max(chunk_rays, int(-(-(n * hit_frac) // chunk_rays)) * chunk_rays)
+            n_chunks1 = budget1 // chunk_rays
+        budget1 = n_chunks1 * chunk_rays
+        # alive rays drain geometrically -> shrinking per-pass budgets
+        n_chunks_passes = tuple(
+            max(1, int(-(-(n_chunks1 * (alive_frac ** p)) // 1)))
+            for p in range(1, n_pass))
+
         # NOTE: bkg_color deliberately NOT fed to the model (see impl)
         if bkg_color is not None:
             miss = np.asarray(bkg_color, dtype=np.float32)
@@ -1040,12 +1103,37 @@ class ArcNerfTrainer:
 
         flat, n_hit, n_alive_end, clipped = self._windowed_fused(
             self.eval_params(), self.state["bound_state"], feed, jnp.asarray(miss),
-            hit_bkg, n_probe, n_chunks1, n_chunks2, n_pass, chunk_rays, cap, float(eps))
+            hit_bkg, n_probe, n_chunks1, n_chunks_passes, chunk_rays, cap, float(eps))
         imgs = {k: np.asarray(v).reshape((h, w) + v.shape[1:]) for k, v in flat.items()}
-        stats = {"hit_frac": int(n_hit) / max(n, 1), "budget_rays": budget1,
-                 "pass_budget_rays": budget2, "n_pass": n_pass, "cap": cap,
+        n_hit = int(n_hit)
+        stats = {"hit_frac": n_hit / max(n, 1), "budget_rays": budget1,
+                 "hit_clipped": max(0, n_hit - budget1),
+                 "pass_budget_rays": tuple(c * chunk_rays for c in n_chunks_passes),
+                 "n_pass": n_pass, "cap": cap,
                  "alive_at_end": int(n_alive_end), "clipped_alive": int(clipped)}
         return imgs, stats
+
+    @staticmethod
+    def _refine_pixel_select(rgb, h, w, off, scale, refine_frac):
+        """Top-``refine_frac`` NON-subgrid pixel indices ranked by the
+        upsampled frame's luminance gradient — the pixels bilinear
+        interpolation got most wrong. -> flat (k,) int64 indices."""
+        lum = np.asarray(rgb, dtype=np.float32)
+        if lum.ndim == 3:
+            lum = lum @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        gy = np.abs(np.diff(lum, axis=0, prepend=lum[:1]))
+        gx = np.abs(np.diff(lum, axis=1, prepend=lum[:, :1]))
+        score = (gy + gx).reshape(-1)
+        onsub = np.zeros((h, w), bool)
+        onsub[off::scale, off::scale] = True
+        score[onsub.reshape(-1)] = -1.0
+        k = int(refine_frac * h * w)
+        if k <= 0:
+            return np.zeros((0,), np.int64)
+        # always exactly k indices: the refine render's shapes stay
+        # frame-stable (no recompiles); a subgrid pixel sneaking in when
+        # fewer than k edges exist just re-renders an exact pixel
+        return np.argpartition(score, -k)[-k:]
 
     # ------------------------------------------------------------- main loop
     def train(self):

@@ -269,27 +269,29 @@ def main():
     trainer.set_render_cap(win_cap, window=True)
     windowed = {}
     best = None
-    for s in ((1,) if smoke else (1, 2, 3)):
-        w_imgs, w_stats = trainer.render_image_windowed(
-            sample, n_pass=n_pass, alive_frac=0.25, chunk_rays=render_chunk,
-            hit_frac=0.42, scale=s, eps=1e-3)  # compile
+    # (scale, refine_frac): the r4 ladder — adaptive hit budgets (counted,
+    # no silent clipping) + edge refinement at scale>1
+    tiers = ((1, 0.0),) if smoke else ((1, 0.0), (2, 0.0), (2, 0.15), (3, 0.0), (3, 0.15))
+    for s, rf in tiers:
+        kw = dict(n_pass=n_pass, alive_frac=0.25, chunk_rays=render_chunk,
+                  scale=s, eps=1e-3, adaptive_budget=True, refine_frac=rf)
+        w_imgs, w_stats = trainer.render_image_windowed(sample, **kw)  # compile
         tw = []
         for _ in range(3):
             t0 = time.perf_counter()
-            w_imgs, w_stats = trainer.render_image_windowed(
-                sample, n_pass=n_pass, alive_frac=0.25, chunk_rays=render_chunk,
-                hit_frac=0.42, scale=s, eps=1e-3)
+            w_imgs, w_stats = trainer.render_image_windowed(sample, **kw)
             tw.append(time.perf_counter() - t0)
         t_w = min(tw)
         mse_w = float(np.mean((np.asarray(w_imgs["rgb"]) - np.asarray(imgs["rgb"])) ** 2))
         p_w = float(-10.0 * np.log10(max(mse_w, 1e-12)))
-        windowed["render_windowed_s{}_ms".format(s)] = round(t_w * 1e3, 1)
-        windowed["render_windowed_s{}_fps".format(s)] = round(1.0 / t_w, 3)
-        windowed["psnr_windowed_s{}_vs_full".format(s)] = round(p_w, 2)
+        tag = "s{}".format(s) if rf == 0.0 else "s{}r{}".format(s, int(rf * 100))
+        windowed["render_windowed_{}_ms".format(tag)] = round(t_w * 1e3, 1)
+        windowed["render_windowed_{}_fps".format(tag)] = round(1.0 / t_w, 3)
+        windowed["psnr_windowed_{}_vs_full".format(tag)] = round(p_w, 2)
         if p_w >= 30.0 and (best is None or 1.0 / t_w > best[1]):
-            best = (s, 1.0 / t_w, p_w)
+            best = (tag, 1.0 / t_w, p_w)
     if best is not None:
-        windowed["faithful_tier"] = "windowed_scale{}".format(best[0])
+        windowed["faithful_tier"] = "windowed_{}".format(best[0])
         windowed["faithful_tier_fps"] = round(best[1], 3)
         windowed["faithful_tier_psnr_vs_full"] = round(best[2], 2)
     trainer.set_render_cap(render_cap)

@@ -244,3 +244,49 @@ def test_render_image_windowed_matches_full(shared_trainer):
 
         # restore plain-cap mode for other tests
         trainer.set_render_cap(None)
+
+
+def test_windowed_adaptive_budget_and_refine(shared_trainer):
+    """r4 windowed upgrades: (a) adaptive_budget sizes pass-1 from a real
+    hit count so a dense view can't silently clip hit rays into
+    background (the 25 dB cliff in probe_upsample_bound.py); (b) at
+    scale>1, refine_frac re-renders the top edge pixels exactly and
+    must not make the frame WORSE than the plain upsample."""
+    trainer = shared_trainer
+    sample = trainer.data["val"][0]
+    bkg = trainer.eval_bkg_color("val")
+
+    trainer.set_render_cap(None)
+    full = trainer.render_image(sample, bkg_color=bkg, chunk_rays=256)
+
+    trainer.set_render_cap(8, window=True)
+    # blind hit_frac tiny enough to clip on this view; adaptive must
+    # override it with a counted budget -> zero hit clipping
+    win, stats = trainer.render_image_windowed(
+        sample, n_pass=4, alive_frac=1.0, chunk_rays=64, bkg_color=bkg,
+        hit_frac=0.01, eps=0.0, adaptive_budget=True)
+    assert stats["hit_clipped"] == 0, stats
+    np.testing.assert_allclose(np.asarray(win["rgb"]), np.asarray(full["rgb"]), atol=1e-4)
+
+    # shrinking pass ladder is exposed and monotonic non-increasing
+    win2, stats2 = trainer.render_image_windowed(
+        sample, n_pass=3, alive_frac=0.5, chunk_rays=64, bkg_color=bkg,
+        hit_frac=1.0, eps=1e-3, adaptive_budget=True)
+    ladder = stats2["pass_budget_rays"]
+    assert len(ladder) == 2 and ladder[0] >= ladder[1], stats2
+
+    def psnr_vs_full(img):
+        mse = float(np.mean((np.asarray(img) - np.asarray(full["rgb"])) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))
+
+    plain, _ = trainer.render_image_windowed(
+        sample, n_pass=4, alive_frac=1.0, chunk_rays=64, bkg_color=bkg,
+        scale=2, eps=0.0, adaptive_budget=True)
+    refined, rstats = trainer.render_image_windowed(
+        sample, n_pass=4, alive_frac=1.0, chunk_rays=64, bkg_color=bkg,
+        scale=2, eps=0.0, adaptive_budget=True, refine_frac=0.2)
+    assert rstats.get("refined_rays", 0) > 0, rstats
+    assert psnr_vs_full(refined["rgb"]) >= psnr_vs_full(plain["rgb"]) - 1e-6, (
+        psnr_vs_full(refined["rgb"]), psnr_vs_full(plain["rgb"]))
+
+    trainer.set_render_cap(None)
