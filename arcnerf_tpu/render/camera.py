@@ -21,9 +21,18 @@ from .ray_helper import get_rays
 
 @functools.lru_cache(maxsize=64)
 def _full_image_rays_jit(W, H, wh_order, ndc, center_pixel, normalize_rays_d):
-    """Jitted full-image ray generation, cached per static config. Keeps
-    dataset preparation fast even when eager dispatch is expensive (e.g.
-    through a remote-TPU tunnel)."""
+    """Jitted full-image ray generation, cached per static config — and
+    pinned to the HOST CPU backend when one exists: this runs during
+    dataset preparation, where a remote-accelerator compile costs minutes
+    per image shape (measured 7+ min of the quad-hash gate's startup was
+    ONE 80x80 ray-gen compile through the TPU tunnel) while the math is
+    trivial elementwise work the host compiles in milliseconds. Training
+    re-uploads the pooled rays to the mesh afterwards either way."""
+    dev = None
+    try:
+        dev = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        pass  # cpu backend unavailable: compile for the default device
 
     @jax.jit
     def fn(intrinsic, c2w):
@@ -32,7 +41,15 @@ def _full_image_rays_jit(W, H, wh_order, ndc, center_pixel, normalize_rays_d):
             center_pixel=center_pixel, normalize_rays_d=normalize_rays_d,
         )
 
-    return fn
+    if dev is None:
+        return fn
+
+    def on_host(intrinsic, c2w):
+        # committed-to-CPU inputs make jit compile/run on the host backend
+        return fn(jax.device_put(jnp.asarray(intrinsic), dev),
+                  jax.device_put(jnp.asarray(c2w), dev))
+
+    return on_host
 
 
 class PerspectiveCamera:
