@@ -407,10 +407,22 @@ def _fused_gather_extract(rows_all, ridx, lane0, ws, offs, F, mm=False):
     (0, F); quad: ((cy*SY+cz)*F, ...)). ``ws`` is the matching tuple of
     per-corner weight vectors. -> (F, n) interpolated partial sums."""
     r = _fetch_rows(rows_all, ridx, mm)  # (n, 128)
-    # d computed ONCE, multiply form: vs a fresh where(lanes == lane0+off+f)
-    # per term this measured ~18% faster construction at the bench shapes
-    # (scripts/probe_cons_forms.py forms A vs C) — XLA materializes each
-    # compare operand, so sharing the (n, 128) subtraction pays.
+    n = r.shape[0]
+    if 128 % F == 0 and all(off % F == 0 for off in offs):
+        # SLOT form: entries are F-aligned in the row, so view the row as
+        # (128//F) F-wide slots — ONE (n, S) mask per corner then serves
+        # every feature lane of that corner (the per-f masks are the same
+        # mask shifted by one lane). Mask work shrinks F x and the
+        # F-lane values apply in a single broadcast multiply
+        # (scripts/probe_cons_forms.py slot forms vs per-lane forms).
+        S = 128 // F
+        slots = jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)
+        q = slots - (lane0 // F)[:, None]
+        m = 0.0
+        for w, off in zip(ws, offs):
+            m = m + jnp.where(q == off // F, w[:, None], 0.0)
+        return jnp.sum(r.reshape(n, S, F) * m[:, :, None], axis=1).T  # (F, n)
+    # fallback (F doesn't tile the row): shared lane-delta per-lane form
     lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
     d = lanes - lane0[:, None]
     outs = []
@@ -535,14 +547,25 @@ def _hash_lookup_fused_bwd(spec, resid, g):
     B = pair_idx.shape[2]
 
     def build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs):
-        # d-once multiply form (probe_cons_forms.py form C): one shared
-        # (K, 128) lane-delta + mask*value products instead of a fresh
-        # where-compare per term — measured 5.8 -> 4.8 ms/level pair,
-        # and the form that lets quad's halved index count reach the
-        # scatter (A-quad construction eats the gain; C-quad does not).
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (rl_c.shape[0], 128), 1)
+        # SLOT form (see _fused_gather_extract): one (K, S) mask per
+        # corner covers all F feature lanes; the F per-lane values land
+        # via a single (K, S, 1) x (K, 1, F) broadcast product. Shrinks
+        # the mask passes F x vs the per-lane d-once form (which itself
+        # measured 5.8 -> 4.8 ms/level over the fresh-compare form,
+        # scripts/probe_cons_forms.py).
+        K = rl_c.shape[0]
+        if 128 % F == 0 and all(off % F == 0 for off in lane_offs):
+            S = 128 // F
+            slots = jax.lax.broadcasted_iota(jnp.int32, (K, S), 1)
+            q = slots - (lane0_c // F)[:, None]
+            upd2 = jnp.zeros((K, S, F), jnp.float32)
+            for w_c, off in zip(ws_c, lane_offs):
+                vals = jnp.stack([w_c * gf_c[f] for f in range(F)], axis=-1)  # (K, F)
+                upd2 = upd2 + (q == off // F).astype(jnp.float32)[:, :, None] * vals[:, None, :]
+            return upd2.reshape(K, 128)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
         d = lanes - lane0_c[:, None]
-        upd = jnp.zeros((rl_c.shape[0], 128), jnp.float32)
+        upd = jnp.zeros((K, 128), jnp.float32)
         for f in range(F):
             for w_c, off in zip(ws_c, lane_offs):
                 upd = upd + (d == off + f).astype(jnp.float32) * (w_c * gf_c[f])[:, None]
