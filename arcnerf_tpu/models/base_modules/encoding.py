@@ -868,8 +868,8 @@ class HashGridEmbedder(nn.Module):
     # T) — a different collision structure, so it was quality-gated before
     # becoming the default: scripts/gate_pair_hash.sh on the TPU measured
     # eval PSNR 25.62 (pair_hash) vs 25.57 (instant-ngp hash) at 600 steps
-    # with a ~35% faster step. Set pair_hash=False in the encoder cfg to
-    # recover the exact instant-ngp hash.
+    # with a ~35% faster step. Set pair_hash=False AND quad_hash=False in
+    # the encoder cfg to recover the exact instant-ngp hash.
     pair_dense: bool = True
     pair_hash: bool = True
     # QUAD packing of hashed levels (fused path only): a hash additive in
@@ -878,10 +878,14 @@ class HashGridEmbedder(nn.Module):
     # paired. Measured fwd 85.3 -> 60.1 ms over the 11 hashed levels at
     # bench shapes (scripts/probe_quad.py); the backward is scatter-bound
     # either way. Changes collision structure ((y+1, z) aliases with
-    # (y, z+31)), so quality-gated via scripts/gate_quad_hash.sh before
-    # the default flip (same protocol as pair_hash). Takes precedence
-    # over pair_hash on hashed levels when True.
-    quad_hash: bool = False
+    # (y, z+31)); quality-gated via scripts/gate_quad_hash.sh (same
+    # protocol as pair_hash): 600-step NGP val PSNR seed 0: 25.49 off /
+    # 25.15 on; seed 7: 24.99 off / 25.24 on — means differ 0.04 dB with
+    # run-to-run noise ~0.5 dB, while the step drops 275.6 -> 235.1 ms at
+    # the 4096-ray bench bucket (+17% throughput). Default ON. Set
+    # quad_hash=False to recover the pair-hash collision structure.
+    # Takes precedence over pair_hash on hashed levels when True.
+    quad_hash: bool = True
     # fuse the trilinear interpolation into the lookup op (TPU, all levels
     # paired): one merged gather across levels, weights folded into the
     # lane extraction, (F, L, B) output. Gradients then flow to the table

@@ -73,7 +73,7 @@ class TestHashGrid:
     def _check_naive(self, pair_hash):
         enc = HashGridEmbedder(
             n_levels=4, hashmap_size=8, base_res=4, max_res=32, side=2.0,
-            include_input=False, pair_hash=pair_hash,
+            include_input=False, pair_hash=pair_hash, quad_hash=False,
         )
         rng = np.random.default_rng(0)
         xyz = rng.uniform(-0.9, 0.9, size=(32, 3)).astype(np.float32)

@@ -122,7 +122,8 @@ def test_embedder_cpu_golden_unchanged():
     hashed levels to the z-additive hash and is covered by
     test_pair_hash_default_changes_hashed_levels below."""
     enc = HashGridEmbedder(n_levels=4, n_feat_per_entry=2, hashmap_size=10, base_res=4,
-                           max_res=64, side=2.0, include_input=False, pair_hash=False)
+                           max_res=64, side=2.0, include_input=False, pair_hash=False,
+                           quad_hash=False)
     xyz = jnp.asarray(np.random.default_rng(5).uniform(-0.9, 0.9, size=(32, 3)).astype(np.float32))
     v = enc.init(jax.random.PRNGKey(0), xyz)
     out = enc.apply(v, xyz)
@@ -169,8 +170,8 @@ def test_pair_hash_default_changes_hashed_levels():
               max_res=64, side=2.0, include_input=False)
     xyz = jnp.asarray(np.random.default_rng(5).uniform(-0.9, 0.9, size=(32, 3)).astype(np.float32))
 
-    enc_zadd = HashGridEmbedder(**kw)
-    enc_xor = HashGridEmbedder(**kw, pair_hash=False)
+    enc_zadd = HashGridEmbedder(**kw, quad_hash=False)
+    enc_xor = HashGridEmbedder(**kw, pair_hash=False, quad_hash=False)
     v = enc_zadd.init(jax.random.PRNGKey(0), xyz)
     out_zadd = enc_zadd.apply(v, xyz)
     out_xor = enc_xor.apply(v, xyz)
