@@ -45,9 +45,14 @@ def _full_image_rays_jit(W, H, wh_order, ndc, center_pixel, normalize_rays_d):
         return fn
 
     def on_host(intrinsic, c2w):
-        # committed-to-CPU inputs make jit compile/run on the host backend
-        return fn(jax.device_put(jnp.asarray(intrinsic), dev),
-                  jax.device_put(jnp.asarray(c2w), dev))
+        # committed-to-CPU inputs make jit compile/run on the host backend.
+        # np.asarray FIRST: device_put of a numpy array is a free host put,
+        # while device_put of an accelerator-resident array compiles a
+        # transfer program through the tunnel (~10 s per operand, measured
+        # on the axon relay) — so never let the operands touch the default
+        # device on the way here.
+        return fn(jax.device_put(np.asarray(intrinsic, np.float32), dev),
+                  jax.device_put(np.asarray(c2w, np.float32), dev))
 
     return on_host
 
@@ -118,7 +123,10 @@ class PerspectiveCamera:
         """Rays in world coords; see render.ray_helper.get_rays."""
         if index is None and n_rays <= 0:
             fn = _full_image_rays_jit(self.W, self.H, wh_order, ndc, center_pixel, normalize_rays_d)
-            return fn(self.get_intrinsic(), self.get_pose())
+            # pass numpy, NOT get_intrinsic()/get_pose(): those create
+            # default-device (accelerator) arrays eagerly, and pulling them
+            # back to the host costs a remote transfer-program compile each
+            return fn(self.intrinsic, self.c2w)
         return get_rays(
             self.W,
             self.H,
