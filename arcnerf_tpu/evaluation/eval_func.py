@@ -27,7 +27,7 @@ def render_full_image(render_chunk_fn, sample, chunk_rays=8192, bkg_color=None):
     for s in range(0, n, chunk_rays):
         e = min(s + chunk_rays, n)
         chunk = {}
-        for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+        for k in ("rays_o", "rays_d", "rays_r", "bounds", "crop_bounds", "exp_time"):
             if k in sample and sample[k] is not None:
                 piece = np.asarray(sample[k][s:e])
                 if piece.shape[0] < chunk_rays:

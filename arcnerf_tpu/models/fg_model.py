@@ -95,13 +95,27 @@ class FgModel(Base3dModel):
     # ------------------------------------------------------------- sampling
     def get_near_far_from_rays(self, inputs, bound_state=None):
         bound = self.get_obj_bound()
-        return bound.get_near_far_from_rays(
+        near, far, mask_rays = bound.get_near_far_from_rays(
             bound_state or {},
             inputs,
             near_hardcode=self.get_ray_cfgs("near"),
             far_hardcode=self.get_ray_cfgs("far"),
             bounding_radius=self.get_ray_cfgs("bounding_radius"),
         )
+        # optional per-ray crop window (viewer crop box; reference
+        # ns_viewer/server/viewer_utils.py crop controls): clamp the march
+        # segment to [t0, t1] and send misses to the background compositor
+        # via mask_rays. Distinct from the dataset 'bounds' key, whose
+        # semantics each bound type owns.
+        crop = inputs.get("crop_bounds")
+        if crop is not None:
+            near2 = jnp.maximum(near, crop[:, 0:1])
+            far2 = jnp.minimum(far, crop[:, 1:2])
+            hit = (far2 > near2)[:, 0]
+            far2 = jnp.maximum(far2, near2)
+            mask_rays = hit if mask_rays is None else (mask_rays & hit)
+            near, far = near2, far2
+        return near, far, mask_rays
 
     def use_scattered_masks(self):
         """Scattered (unsorted) occupancy masks let the volume/bitfield

@@ -634,7 +634,7 @@ class ArcNerfTrainer:
         n_chunks = (n + chunk_rays - 1) // chunk_rays
         total = n_chunks * chunk_rays
         stack = {}
-        for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+        for k in ("rays_o", "rays_d", "rays_r", "bounds", "crop_bounds", "exp_time"):
             if k in sample and sample[k] is not None:
                 arr = np.asarray(sample[k])
                 if arr.shape[0] < total:  # pad tail chunk for static shape
@@ -796,7 +796,7 @@ class ArcNerfTrainer:
             budget = max(chunk_rays, int(-(-(n * hit_frac) // chunk_rays)) * chunk_rays)
             n_chunks = budget // chunk_rays
             feed = {}
-            for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+            for k in ("rays_o", "rays_d", "rays_r", "bounds", "crop_bounds", "exp_time"):
                 if k in sample and sample[k] is not None:
                     feed[k] = jnp.asarray(np.asarray(sample[k]))
             if bkg_color is not None:
@@ -830,7 +830,7 @@ class ArcNerfTrainer:
             fill = idx[-1] if len(idx) else 0
             idx = np.concatenate([idx, np.full(budget - len(idx), fill, dtype=idx.dtype)])
 
-        sub = {k: np.asarray(sample[k])[idx] for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time")
+        sub = {k: np.asarray(sample[k])[idx] for k in ("rays_o", "rays_d", "rays_r", "bounds", "crop_bounds", "exp_time")
                if k in sample and sample[k] is not None}
         flat_sub = self._render_rays_stacked(sub, budget, chunk_rays, bkg_color=bkg_color)
 
@@ -874,7 +874,7 @@ class ArcNerfTrainer:
         off = scale // 2  # subgrid pixel centers sit mid-stride
         hs, ws = len(range(off, h, scale)), len(range(off, w, scale))
         sub = {"H": hs, "W": ws}
-        for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time", "img", "mask"):
+        for k in ("rays_o", "rays_d", "rays_r", "bounds", "crop_bounds", "exp_time", "img", "mask"):
             if k in sample and sample[k] is not None:
                 arr = np.asarray(sample[k])
                 grid = arr.reshape((h, w) + arr.shape[1:])
@@ -1031,7 +1031,7 @@ class ArcNerfTrainer:
             hs, ws = len(range(off, h, scale)), len(range(off, w, scale))
             sub = {"H": hs, "W": ws}
             arrs = {}
-            for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+            for k in ("rays_o", "rays_d", "rays_r", "bounds", "crop_bounds", "exp_time"):
                 if k in sample and sample[k] is not None:
                     arr = np.asarray(sample[k])
                     arrs[k] = arr
@@ -1066,7 +1066,7 @@ class ArcNerfTrainer:
         n = sample["rays_o"].shape[0]
 
         feed = {}
-        for k in ("rays_o", "rays_d", "rays_r", "bounds", "exp_time"):
+        for k in ("rays_o", "rays_d", "rays_r", "bounds", "crop_bounds", "exp_time"):
             if k in sample and sample[k] is not None:
                 feed[k] = jnp.asarray(np.asarray(sample[k]))
 

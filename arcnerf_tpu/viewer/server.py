@@ -113,6 +113,20 @@ def colorize_output(imgs, mode="rgb"):
     return (np.clip(imgs["rgb"], 0, 1) * 255).astype(np.uint8)
 
 
+def _ray_aabb_bounds(rays_o, rays_d, box):
+    """Slab-test ray/AABB entry-exit (N, 2) for the crop box; misses get
+    t1 <= t0 (fg_model masks them to background). Host-side numpy — the
+    crop geometry never touches the device."""
+    lo, hi = box[:3], box[3:]
+    inv = 1.0 / np.where(np.abs(rays_d) < 1e-9, 1e-9, rays_d)
+    ta = (lo[None] - rays_o) * inv
+    tb = (hi[None] - rays_o) * inv
+    t0 = np.max(np.minimum(ta, tb), axis=1)
+    t1 = np.min(np.maximum(ta, tb), axis=1)
+    t0 = np.maximum(t0, 0.0)
+    return np.stack([t0, t1], axis=1).astype(np.float32)
+
+
 class ViewerState:
     """Holds the render function + scene metadata; renders on demand."""
 
@@ -154,7 +168,8 @@ class ViewerState:
         with self._lock:
             self.render_chunk_fn = render_chunk_fn
 
-    def render_pose(self, c2w, res=128, mode="rgb", tier=None):
+    def render_pose(self, c2w, res=128, mode="rgb", tier=None, crop=None,
+                    split=None, split_frac=0.5):
         """c2w (4, 4) -> (h, w, 3) uint8 at the closest ladder resolution.
 
         ``mode`` selects the render output like the reference app's
@@ -162,7 +177,12 @@ class ViewerState:
         'rgb', 'depth' (turbo-colormapped, robust-normalized), or 'mask'
         (accumulated opacity, grayscale). ``tier`` selects a named render
         program from render_tier_fns (settle-to-exact); None falls back to
-        render_image_fn / the chunked renderer.
+        render_image_fn / the chunked renderer. ``crop`` is an optional
+        world AABB (xmin, ymin, zmin, xmax, ymax, zmax) — the reference
+        viewer's crop box: marching is clamped to the box per-ray
+        (fg_model crop_bounds), misses composite to background. ``split``
+        names a second output mode composited right of the ``split_frac``
+        divider (reference split toggles) — one render, two colorizations.
         """
         res = min(self.RES_LADDER, key=lambda r: abs(r - res))
         scale = res / max(self.W, self.H)
@@ -180,6 +200,9 @@ class ViewerState:
         ro, rd, _, rr = cam.get_rays(wh_order=False)
         sample = {"rays_o": np.asarray(ro), "rays_d": np.asarray(rd), "rays_r": np.asarray(rr),
                   "H": h, "W": w}
+        if crop is not None:
+            sample["crop_bounds"] = _ray_aabb_bounds(
+                sample["rays_o"], sample["rays_d"], np.asarray(crop, np.float32))
         with self._lock:
             fn = self.render_tier_fns.get(tier)
             if fn is not None:
@@ -188,12 +211,21 @@ class ViewerState:
                 imgs = self.render_image_fn(sample)
             else:
                 imgs = render_full_image(self.render_chunk_fn, sample, self.chunk_rays)
-        return colorize_output(imgs, mode)
+        frame = colorize_output(imgs, mode)
+        if split and split != mode:
+            other = colorize_output(imgs, split)
+            cut = int(np.clip(float(split_frac), 0.0, 1.0) * frame.shape[1])
+            frame = frame.copy()
+            frame[:, cut:] = other[:, cut:]
+            frame[:, max(cut - 1, 0):cut + 1] = 255  # divider line
+        return frame
 
-    def render_jpeg_b64(self, c2w, res=128, quality=80, mode="rgb", tier=None):
+    def render_jpeg_b64(self, c2w, res=128, quality=80, mode="rgb", tier=None,
+                        crop=None, split=None, split_frac=0.5):
         import cv2
 
-        frame = self.render_pose(c2w, res, mode, tier=tier)
+        frame = self.render_pose(c2w, res, mode, tier=tier, crop=crop,
+                                 split=split, split_frac=split_frac)
         ok, buf = cv2.imencode(".jpg", frame[..., ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), quality])
         assert ok
         return base64.b64encode(buf.tobytes()).decode()
@@ -292,8 +324,16 @@ def make_app(state):
                 tier = msg.get("tier")
                 if tier is not None and tier not in state.render_tier_fns:
                     tier = None
+                crop = msg.get("crop")
+                if crop is not None:
+                    crop = [float(v) for v in crop]
+                    if len(crop) != 6 or not all(np.isfinite(crop)):
+                        crop = None
+                split = msg.get("split") or None
+                split_frac = float(msg.get("split_frac", 0.5))
                 t0 = time.perf_counter()
-                jpeg = state.render_jpeg_b64(c2w, res, mode=mode, tier=tier)
+                jpeg = state.render_jpeg_b64(c2w, res, mode=mode, tier=tier,
+                                             crop=crop, split=split, split_frac=split_frac)
                 self.write_message(json.dumps({
                     "type": "frame",
                     "jpeg": jpeg,

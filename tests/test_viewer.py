@@ -279,3 +279,87 @@ def test_scene_graph_points_and_geometry():
 
     packed = _pack_points(pts[:5])
     assert len(packed["xyz"]) == 5 and "rgb" not in packed
+
+
+def test_split_view_composites_two_modes():
+    """Split toggle (reference ns_viewer split view): left of the divider
+    is `mode`, right is `split`, one render for both."""
+    state = make_state()
+    c2w = look_at(np.array([0.0, 0.0, -2.5]), np.zeros(3))
+    rgb = state.render_pose(c2w, res=64, mode="rgb")
+    depth = state.render_pose(c2w, res=64, mode="depth")
+    half = state.render_pose(c2w, res=64, mode="rgb", split="depth", split_frac=0.5)
+    w = half.shape[1]
+    cut = w // 2
+    assert np.array_equal(half[:, :cut - 1], rgb[:, :cut - 1])
+    assert np.array_equal(half[:, cut + 1:], depth[:, cut + 1:])
+    assert (half[:, cut] == 255).all()  # divider line
+    # split == mode or empty: no compositing
+    assert np.array_equal(state.render_pose(c2w, res=64, mode="rgb", split="rgb"), rgb)
+
+
+def test_crop_bounds_reach_renderer():
+    """Crop box: the server computes per-ray AABB entry/exit and injects
+    crop_bounds into the feed (fg_model clamps the march to it)."""
+    from arcnerf_tpu.viewer.server import _ray_aabb_bounds
+
+    seen = {}
+
+    def spy_render(feed):
+        if "crop_bounds" in feed:
+            seen["crop"] = np.asarray(feed["crop_bounds"]).copy()
+        rays_d = np.asarray(feed["rays_d"])
+        return {"rgb": (rays_d + 1.0) / 2.0}
+
+    intrinsic = np.array([[100.0, 0, 64.0], [0, 100.0, 64.0], [0, 0, 1]])
+    state = ViewerState(spy_render, intrinsic, (128, 128), chunk_rays=1 << 20)
+    c2w = look_at(np.array([0.0, 0.0, -2.5]), np.zeros(3))
+    state.render_pose(c2w, res=64, crop=[-0.5, -0.5, -0.5, 0.5, 0.5, 0.5])
+    assert "crop" in seen and seen["crop"].shape[-1] == 2
+    # the central ray (pointing at the box center) must hit: t1 > t0
+    cb = seen["crop"].reshape(-1, 2)
+    mid = cb[(64 * 64) // 2 + 32]  # central REAL ray (chunk pads past 64x64)
+    assert mid[1] > mid[0] > 0
+
+    # geometry: a ray straight at the box from z=-2.5 enters at 2.0, exits 3.0
+    ro = np.array([[0.0, 0.0, -2.5]], np.float32)
+    rd = np.array([[0.0, 0.0, 1.0]], np.float32)
+    b = _ray_aabb_bounds(ro, rd, np.array([-0.5, -0.5, -0.5, 0.5, 0.5, 0.5], np.float32))
+    np.testing.assert_allclose(b, [[2.0, 3.0]], atol=1e-5)
+    # a ray pointing away misses: t1 <= t0
+    b2 = _ray_aabb_bounds(ro, -rd, np.array([-0.5, -0.5, -0.5, 0.5, 0.5, 0.5], np.float32))
+    assert b2[0, 1] <= b2[0, 0]
+
+
+def test_fg_model_crop_clamps_near_far():
+    """fg_model.get_near_far_from_rays honors feed crop_bounds: the march
+    segment clamps to the crop window and misses join mask_rays."""
+    import jax.numpy as jnp
+
+    from arcnerf_tpu.models import build_model
+    from arcnerf_tpu.utils.cfgs import dict_to_obj
+
+    cfgs = dict_to_obj({"model": {
+        "type": "NeRF",
+        "rays": {"n_sample": 8, "n_importance": 0, "bounding_radius": 3.0,
+                 "near": None, "far": None},
+        "chunk_rays": 1024, "chunk_pts": 4096,
+        "geometry": {"W": 8, "D": 1, "skips": [], "input_ch": 3,
+                     "encoder": {"type": "FreqEmbedder", "n_freqs": 2}},
+        "radiance": {"mode": "vf", "W": 8, "D": 1,
+                     "encoder": {"view": {"type": "FreqEmbedder", "n_freqs": 2}}},
+    }})
+    model = build_model(cfgs)
+    fg = model.fg_model if hasattr(model, "fg_model") else model
+    ro = jnp.array([[0.0, 0.0, -2.5], [0.0, 0.0, -2.5]])
+    rd = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    feed = {"rays_o": ro, "rays_d": rd,
+            "crop_bounds": jnp.array([[2.0, 3.0], [2.0, 3.0]])}
+    near, far, mask = fg.get_near_far_from_rays(feed)
+    # ray 0: sphere gives [~0, ~5.5]; crop clamps to [2, 3]
+    np.testing.assert_allclose(np.asarray(near[0]), [2.0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(far[0]), [3.0], atol=1e-4)
+    assert mask is not None and bool(mask[0])
+    # ray 1 points away from the box: crop miss -> masked out, far >= near
+    assert not bool(mask[1])
+    assert float(far[1, 0]) >= float(near[1, 0])
