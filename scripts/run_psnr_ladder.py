@@ -24,11 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
+    # default marks mirror the reference's ladder times (~4 s, 18 s, 40 s,
+    # 3 min, 17 min; reference docs/benchmark.md:48-54) plus a 25-min tail
     ap.add_argument("--marks", type=float, nargs="+",
-                    default=[0.33, 1.0, 3.0, 10.0, 25.0], help="wall-clock marks (minutes)")
+                    default=[0.067, 0.3, 0.67, 3.0, 10.0, 17.0, 25.0],
+                    help="wall-clock marks (minutes)")
     ap.add_argument("--name", default="ngp_ladder_r4")
     ap.add_argument("--rays", type=int, default=32768)
-    ap.add_argument("--views", type=int, default=64)
+    ap.add_argument("--views", type=int, default=128)
     ap.add_argument("--wh", type=int, default=400)
     args = ap.parse_args()
 
@@ -77,10 +80,15 @@ def main():
     next_mark = 0
     while next_mark < len(marks):
         stats = trainer.train_steps(epoch, scan)
+        # HARD SYNC each stride: dispatch is async through the tunnel, so
+        # without this the loop enqueues hundreds of strides while the wall
+        # clock reads ~0, and every mark lands at the drained-queue time
+        # (the r4 first ladder run: all marks at ~69.5 min). The ~30 ms
+        # readback is part of honest wall time.
+        float(stats["loss"])
         epoch += scan
         elapsed_min = (time.perf_counter() - t0) / 60.0
         if elapsed_min >= marks[next_mark]:
-            float(stats["loss"])  # hard sync before the eval
             train_min = (time.perf_counter() - t0) / 60.0
             t_eval = time.perf_counter()
             summary = trainer.valid_epoch(epoch)
@@ -96,7 +104,6 @@ def main():
             print(json.dumps(entry), flush=True)
             next_mark += 1
             # eval time doesn't count against the train clock
-            t0 -= 0.0
             t0 += time.perf_counter() - t_eval
 
     out = {
