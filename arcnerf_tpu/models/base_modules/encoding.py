@@ -546,23 +546,35 @@ def _hash_lookup_fused_bwd(spec, resid, g):
     quad = _quad_levels(spec)
     B = pair_idx.shape[2]
 
+    def build_profile(lane0_c, ws_c, gf_c, lane_offs):
+        """P-FORM construction: the cotangent g is corner-INDEPENDENT, so
+        the corner sum can run on a (K, S) slot weight-profile
+        ``P[k,s] = sum_c onehot(s - s0_k - d_c) * w_c[k]`` — each corner
+        pays a pass over (K, S), F x less bandwidth than accumulating
+        (K, S, F) per corner — and g lands in ONE outer product
+        ``upd2 = P[:, :, None] * g2[:, None, :]`` (the m-form the forward
+        extract already uses). Returns (P, g2) factored, or None when F
+        doesn't tile the row."""
+        K = lane0_c.shape[0]
+        if not (128 % F == 0 and all(off % F == 0 for off in lane_offs)):
+            return None
+        S = 128 // F
+        slots = jax.lax.broadcasted_iota(jnp.int32, (K, S), 1)
+        q = slots - (lane0_c // F)[:, None]
+        prof = jnp.zeros((K, S), jnp.float32)
+        for w_c, off in zip(ws_c, lane_offs):
+            prof = prof + jnp.where(q == off // F, w_c[:, None], 0.0)
+        g2 = jnp.stack([gf_c[f] for f in range(F)], axis=-1)  # (K, F)
+        return prof, g2
+
     def build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs):
-        # SLOT form (see _fused_gather_extract): one (K, S) mask per
-        # corner covers all F feature lanes; the F per-lane values land
-        # via a single (K, S, 1) x (K, 1, F) broadcast product. Shrinks
-        # the mask passes F x vs the per-lane d-once form (which itself
-        # measured 5.8 -> 4.8 ms/level over the fresh-compare form,
-        # scripts/probe_cons_forms.py).
+        fac = build_profile(lane0_c, ws_c, gf_c, lane_offs)
+        if fac is not None:
+            prof, g2 = fac
+            K = prof.shape[0]
+            return (prof[:, :, None] * g2[:, None, :]).reshape(K, 128)
+        # fallback (F doesn't tile the row): shared lane-delta form
         K = rl_c.shape[0]
-        if 128 % F == 0 and all(off % F == 0 for off in lane_offs):
-            S = 128 // F
-            slots = jax.lax.broadcasted_iota(jnp.int32, (K, S), 1)
-            q = slots - (lane0_c // F)[:, None]
-            upd2 = jnp.zeros((K, S, F), jnp.float32)
-            for w_c, off in zip(ws_c, lane_offs):
-                vals = jnp.stack([w_c * gf_c[f] for f in range(F)], axis=-1)  # (K, F)
-                upd2 = upd2 + (q == off // F).astype(jnp.float32)[:, :, None] * vals[:, None, :]
-            return upd2.reshape(K, 128)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
         d = lanes - lane0_c[:, None]
         upd = jnp.zeros((K, 128), jnp.float32)
@@ -572,14 +584,25 @@ def _hash_lookup_fused_bwd(spec, resid, g):
         return upd
 
     def accum_rows(g_rows, rl_c, lane0_c, ws_c, gf_c, lane_offs):
-        upd = build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs)
         R = g_rows.shape[0]
         if R <= _MM_BWD_MAX_R:  # one-hot matmul form (see _MM_BWD_MAX_R)
             e = (rl_c[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (rl_c.shape[0], R), 1)).astype(jnp.float32)
+            fac = build_profile(lane0_c, ws_c, gf_c, lane_offs)
+            if fac is not None:
+                # factored mm: F small matmuls on (K, S) operands — the
+                # (K, 128) update never materializes for mm levels
+                prof, g2 = fac
+                S = prof.shape[1]
+                cols = [jax.lax.dot_general(
+                    e, prof * g2[:, f][:, None], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) for f in range(F)]
+                return g_rows + jnp.stack(cols, axis=-1).reshape(R, S * F)
+            upd = build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs)
             return g_rows + jax.lax.dot_general(
                 e, upd, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        upd = build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs)
         return g_rows.at[rl_c].add(upd)
 
     grads = []

@@ -223,6 +223,7 @@ class ArcNerfTrainer:
         self._render_chunk = jax.jit(self._render_chunk_impl)
         self._render_scan = jax.jit(self._render_scan_impl)
         self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
+        self._count_prepass = jax.jit(self._count_prepass_impl)
         self._fast_fused = jax.jit(self._fast_fused_impl, static_argnums=(4, 5, 6))
         self._windowed_fused = jax.jit(
             self._windowed_fused_impl, static_argnums=(5, 6, 7, 8, 9, 10))
@@ -261,6 +262,7 @@ class ArcNerfTrainer:
             self._windowed_fused_impl, static_argnums=(5, 6, 7, 8, 9, 10))
         # the fused fast path traces the prepass ladder too (eval_n_sample)
         self._hit_prepass = jax.jit(self._hit_prepass_impl, static_argnums=(3,))
+        self._count_prepass = jax.jit(self._count_prepass_impl)
 
     # ----------------------------------------------------------------- data
     def prepare_data(self):
@@ -724,6 +726,43 @@ class ArcNerfTrainer:
             hit = occ_hit if hit is None else (hit & occ_hit)
         return hit
 
+    def _count_prepass_impl(self, bound_state, rays_o, rays_d):
+        """Per-ray VALID-SAMPLE count on the sampler's own fix-step ladder
+        (the exact-mode hit prepass extended to a count). Sizes the
+        windowed render's pass ladder: a ray is alive entering pass p only
+        if its first p windows came back full, i.e. count >= p*cap — so
+        per-pass budgets of #(count >= p*cap) rays can NEVER clip an alive
+        ray, and passes whose bound is zero are dropped statically (the
+        16-pass geometric ladder paid ~15 one-chunk floor passes on
+        settled scenes where p99 of rays finish in 1-2 windows).
+        Returns None when the bound has no occupancy contract."""
+        from ..models.base_modules.obj_bound import _occ_mask_soa
+        from ..render.ray_helper import get_zvals_from_near_far_fix_step
+
+        bound = self.model.fg_model.get_obj_bound()
+        fg_state = bound_state.get("fg", bound_state)
+        use_occ = (
+            "bitfield" in fg_state and hasattr(bound, "volume")
+            and bound.get_optim_cfgs("epoch_optim") is not None
+            and bound.get_optim_cfgs("ray_sample_acc")
+            and bound.get_optim_cfgs("ray_sample_fix_step")
+        )
+        if not use_occ:
+            return None
+        near, far, hit = bound.get_near_far_from_rays(
+            fg_state, {"rays_o": rays_o, "rays_d": rays_d})
+        near = near if near.ndim == 2 else near[:, None]
+        far = far if far.ndim == 2 else far[:, None]
+        ns_eval = bound.get_optim_cfgs().get("eval_n_sample")
+        n_pts = int(ns_eval) if ns_eval else int(self.model.fg_model.get_ray_cfgs("n_sample"))
+        fix_t = bound.volume.get_diag_len() / n_pts
+        zvals, mask = get_zvals_from_near_far_fix_step(near, far, fix_t, n_pts)
+        occ = mask & _occ_mask_soa(bound.volume, fg_state["bitfield"], rays_o, rays_d, zvals)
+        counts = jnp.sum(occ.astype(jnp.int32), axis=1)
+        if hit is not None:
+            counts = jnp.where(hit, counts, 0)
+        return counts
+
     def _fast_fused_impl(self, params, bound_state, feed, miss_rgb, n_probe, n_chunks, chunk):
         """One-dispatch fast render: prepass -> ray budget select -> scan
         render -> scatter into the flat image, all on device. The host
@@ -925,13 +964,19 @@ class ArcNerfTrainer:
 
         feed1 = {k: jnp.take(v, sel, axis=0) for k, v in feed.items()}
 
-        def run_pass(feed_p, offset, n_chunks_p):
-            stack = {k: v.reshape((n_chunks_p, 1, chunk) + v.shape[1:]) for k, v in feed_p.items()}
+        def run_pass(feed_p, offset, n_chunks_p, chunk_p):
+            stack = {k: v.reshape((n_chunks_p, 1, chunk_p) + v.shape[1:]) for k, v in feed_p.items()}
             stack["cap_offset"] = jnp.full((n_chunks_p,), offset, jnp.int32)
             outs = self._render_scan_impl(params, bound_state, stack)
-            return {k: v.reshape((n_chunks_p * chunk,) + v.shape[3:]) for k, v in outs.items()}
+            return {k: v.reshape((n_chunks_p * chunk_p,) + v.shape[3:]) for k, v in outs.items()}
 
-        out1 = run_pass(feed1, 0, n_chunks1)
+        def pass_shape(spec):
+            # spec: chunk count (rides the main chunk) or (n_chunks, chunk) —
+            # the counted ladder hands later passes SMALLER chunks so a
+            # 2k-alive tail pass stops paying a full 32k-ray chunk floor
+            return spec if isinstance(spec, tuple) else (spec, chunk)
+
+        out1 = run_pass(feed1, 0, n_chunks1, chunk)
         rgb, depth, mask = out1["rgb"], out1["depth"], out1["mask"]
         T = jnp.clip(1.0 - mask, 0.0, 1.0)
         T = jnp.where(sel_valid, T, 0.0)  # padded rows are dead
@@ -940,10 +985,13 @@ class ArcNerfTrainer:
         may_more = out1.get("n_win_pts", jnp.full((budget1,), cap)) >= cap
 
         clipped = jnp.zeros((), jnp.int32)
-        for p, n_chunks2 in enumerate(n_chunks_passes, start=1):
-            budget2 = n_chunks2 * chunk
+        alive_counts = []
+        for p, spec in enumerate(n_chunks_passes, start=1):
+            n_chunks2, chunk2 = pass_shape(spec)
+            budget2 = n_chunks2 * chunk2
             alive = (T > eps) & may_more
             n_alive = jnp.sum(alive.astype(jnp.int32))
+            alive_counts.append(n_alive)
             clipped = clipped + jnp.maximum(n_alive - budget2, 0)
             g2 = jnp.cumsum(alive.astype(jnp.int32)) - 1
             g2 = jnp.where(alive, jnp.clip(g2, 0, budget2), budget2)
@@ -951,7 +999,7 @@ class ArcNerfTrainer:
                 jnp.arange(budget1, dtype=jnp.int32), mode="drop")[:budget2]
             valid2 = jnp.arange(budget2, dtype=jnp.int32) < jnp.minimum(n_alive, budget2)
             feed2 = {k: jnp.take(v, sel2, axis=0) for k, v in feed1.items()}
-            out2 = run_pass(feed2, p * cap, n_chunks2)
+            out2 = run_pass(feed2, p * cap, n_chunks2, chunk2)
             w2 = jnp.where(valid2, jnp.take(T, sel2), 0.0)
             sel2_safe = jnp.where(valid2, sel2, budget1)
 
@@ -989,11 +1037,15 @@ class ArcNerfTrainer:
             else:
                 init = jnp.zeros((n + 1,) + flat.shape[1:], flat.dtype)
             imgs[k] = init.at[sel_safe].set(flat)[:n]
-        return imgs, n_hit, jnp.sum(((T > eps) & may_more).astype(jnp.int32)), clipped
+        alive_arr = (jnp.stack(alive_counts) if alive_counts
+                     else jnp.zeros((0,), jnp.int32))
+        return (imgs, n_hit, jnp.sum(((T > eps) & may_more).astype(jnp.int32)),
+                clipped, alive_arr)
 
     def render_image_windowed(self, sample, n_pass=3, alive_frac=0.5, chunk_rays=None,
                               bkg_color=None, hit_frac=0.5, n_probe=0, scale=1, eps=1e-3,
-                              adaptive_budget=True, refine_frac=0.0):
+                              adaptive_budget=True, refine_frac=0.0, pass_budget_rays=None,
+                              budget_rays=None):
         """Full-image transmittance-continuation render (see
         _windowed_fused_impl). Requires set_render_cap(cap, window=True)
         first — the cap becomes the per-pass window length. ``scale`` > 1
@@ -1040,7 +1092,8 @@ class ArcNerfTrainer:
             imgs_s, stats = self.render_image_windowed(
                 sub, n_pass=n_pass, alive_frac=alive_frac, chunk_rays=chunk_rays,
                 bkg_color=bkg_color, hit_frac=hit_frac, n_probe=n_probe, eps=eps,
-                adaptive_budget=adaptive_budget)
+                adaptive_budget=adaptive_budget, pass_budget_rays=pass_budget_rays,
+                budget_rays=budget_rays)
             imgs = {k: _bilinear_upsample(v, h, w, off, scale) for k, v in imgs_s.items()}
             stats = dict(stats, scale=scale, shaded_rays=hs * ws)
             if refine_frac > 0.0:
@@ -1071,28 +1124,80 @@ class ArcNerfTrainer:
                 feed[k] = jnp.asarray(np.asarray(sample[k]))
 
         n_chunks_max = int(-(-n // chunk_rays))
-        if adaptive_budget:
-            # real hit count -> next power-of-2 chunk budget (>= covers
-            # every hit ray; bounded compile variants)
-            hit = self._hit_prepass(
-                self.state["bound_state"], feed["rays_o"], feed["rays_d"], n_probe)
-            if hit is None:
+
+        def _pow2_chunks(count):
+            need = max(1, int(-(-count // chunk_rays)))
+            c = 1
+            while c < need:
+                c *= 2
+            return min(c, n_chunks_max)
+
+        def _ray_budget_specs(budgets):
+            """Ray budgets -> static (n_chunks, chunk) pass specs, pow2-
+            bucketed with a 4096-ray chunk floor (bounded compile set)."""
+            min_chunk = min(4096, chunk_rays)
+            specs = []
+            for b in budgets:
+                if b <= 0:
+                    break
+                budget_p = min_chunk
+                while budget_p < b:
+                    budget_p *= 2
+                budget_p = min(budget_p, n_chunks_max * chunk_rays)
+                chunk_p = min(chunk_rays, budget_p)
+                specs.append((budget_p // chunk_p, chunk_p))
+            return tuple(specs)
+
+        n_chunks_passes = None
+        if pass_budget_rays is not None:
+            # CALIBRATED ladder: the caller rides a previous frame's
+            # measured per-pass alive counts (stats["alive_per_pass"],
+            # temporal coherence — the reference viewer adapts its render
+            # settings across frames the same way). Exactness is still
+            # guarded per frame: clipped_alive / hit_clipped > 0 in the
+            # returned stats flag a budget the scene outgrew. budget_rays
+            # (stats["budget_rays"] of the calibration frame) skips the
+            # per-frame hit-count prepass dispatch entirely.
+            if budget_rays is not None:
+                n_chunks1 = max(1, min(n_chunks_max,
+                                       int(-(-budget_rays // chunk_rays))))
+            else:
+                hit = self._hit_prepass(
+                    self.state["bound_state"], feed["rays_o"], feed["rays_d"], n_probe)
+                n_chunks1 = n_chunks_max if hit is None else _pow2_chunks(
+                    int(jnp.sum(hit.astype(jnp.int32))))
+            n_chunks_passes = _ray_budget_specs(pass_budget_rays)
+        elif adaptive_budget:
+            # COUNTED pass ladder: per-ray valid-sample counts from one
+            # cheap prepass dispatch. A ray is alive entering pass p only
+            # if all p prior windows were full (count >= p*cap), so
+            # budgets of #(count >= p*cap) never clip and passes whose
+            # bound is 0 vanish — the geometric alive_frac ladder paid
+            # ~(n_pass-1) one-chunk floor passes on settled scenes and
+            # CLIPPED alive rays when a pass outgrew its guess (the 32.8
+            # dB windowed-s1 ceiling in BENCH r4's first cut).
+            counts = self._count_prepass(
+                self.state["bound_state"], feed["rays_o"], feed["rays_d"])
+            if counts is None:
                 n_chunks1 = n_chunks_max
             else:
-                n_hit_pre = int(jnp.sum(hit.astype(jnp.int32)))
-                need = max(1, int(-(-n_hit_pre // chunk_rays)))
-                n_chunks1 = 1
-                while n_chunks1 < need:
-                    n_chunks1 *= 2
-                n_chunks1 = min(n_chunks1, n_chunks_max)
+                counts = np.asarray(counts)
+                n_chunks1 = _pow2_chunks(int((counts > 0).sum()))
+                # later passes ride pow2 ray budgets with their OWN chunk
+                # size — a 2k-alive tail pass must not pay a full
+                # main-chunk floor (measured s3: 5 floor passes of 32k rays
+                # behind a 29k-hit frame, scripts/probe_windowed_tiers.py)
+                n_chunks_passes = _ray_budget_specs(
+                    [int((counts >= p * cap).sum()) for p in range(1, n_pass)])
         else:
             budget1 = max(chunk_rays, int(-(-(n * hit_frac) // chunk_rays)) * chunk_rays)
             n_chunks1 = budget1 // chunk_rays
         budget1 = n_chunks1 * chunk_rays
-        # alive rays drain geometrically -> shrinking per-pass budgets
-        n_chunks_passes = tuple(
-            max(1, int(-(-(n_chunks1 * (alive_frac ** p)) // 1)))
-            for p in range(1, n_pass))
+        if n_chunks_passes is None:
+            # fallback: alive rays drain geometrically
+            n_chunks_passes = tuple(
+                max(1, int(-(-(n_chunks1 * (alive_frac ** p)) // 1)))
+                for p in range(1, n_pass))
 
         # NOTE: bkg_color deliberately NOT fed to the model (see impl)
         if bkg_color is not None:
@@ -1101,14 +1206,17 @@ class ArcNerfTrainer:
             miss = np.zeros(3, dtype=np.float32)
         hit_bkg = jnp.asarray(miss) if np.any(miss != 0.0) else None
 
-        flat, n_hit, n_alive_end, clipped = self._windowed_fused(
+        flat, n_hit, n_alive_end, clipped, alive_arr = self._windowed_fused(
             self.eval_params(), self.state["bound_state"], feed, jnp.asarray(miss),
             hit_bkg, n_probe, n_chunks1, n_chunks_passes, chunk_rays, cap, float(eps))
         imgs = {k: np.asarray(v).reshape((h, w) + v.shape[1:]) for k, v in flat.items()}
         n_hit = int(n_hit)
         stats = {"hit_frac": n_hit / max(n, 1), "budget_rays": budget1,
                  "hit_clipped": max(0, n_hit - budget1),
-                 "pass_budget_rays": tuple(c * chunk_rays for c in n_chunks_passes),
+                 "pass_budget_rays": tuple(
+                     (s[0] * s[1]) if isinstance(s, tuple) else s * chunk_rays
+                     for s in n_chunks_passes),
+                 "alive_per_pass": tuple(int(a) for a in np.asarray(alive_arr)),
                  "n_pass": n_pass, "cap": cap,
                  "alive_at_end": int(n_alive_end), "clipped_alive": int(clipped)}
         return imgs, stats

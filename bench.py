@@ -367,21 +367,38 @@ def main():
         win_cap = 8
         n_sample_cfg = 32 if smoke else 128
         n_pass = max(1, -(-n_sample_cfg // win_cap))
-        # (scale, refine_frac): the r4 ladder — adaptive hit budgets (counted,
-        # no silent clipping) + edge refinement at scale>1
-        tiers = ((1, 0.0),) if smoke else ((1, 0.0), (2, 0.0), (2, 0.15), (3, 0.0), (3, 0.15))
+        # (scale, refine_frac): the r4 ladder — counted pass budgets (the
+        # valid-count prepass sizes every pass; empty passes vanish, no
+        # silent clipping) + edge refinement at scale>1
+        tiers = ((1, 0.0),) if smoke else (
+            (1, 0.0), (2, 0.0), (3, 0.0), (3, 0.05), (4, 0.0), (4, 0.05))
         best = None
         for s, rf in tiers:
             def _windowed(s=s, rf=rf):
                 trainer.set_render_cap(win_cap, window=True)
-                kw = dict(n_pass=n_pass, alive_frac=0.25, chunk_rays=render_chunk,
+                kw = dict(n_pass=n_pass, chunk_rays=render_chunk,
                           scale=s, eps=1e-3, adaptive_budget=True, refine_frac=rf)
+                # calibration frame: counted (geometry-bound) ladder, exact
+                w_imgs, w_stats = trainer.render_image_windowed(sample, **kw)
+                # ride the measured per-pass ALIVE counts (x2 safety): the
+                # count bound ignores transmittance — opaque rays saturate
+                # in window 0, so runtime alive is far below it. Exactness
+                # is re-checked per frame via clipped_alive.
+                alive = [a for a in w_stats.get("alive_per_pass", ()) if a > 0]
+                if alive:
+                    kw["pass_budget_rays"] = tuple(2 * a + 256 for a in alive)
+                    kw["budget_rays"] = w_stats.get("budget_rays")
                 w_imgs, w_stats = trainer.render_image_windowed(sample, **kw)  # compile
+                if w_stats.get("clipped_alive", 0) or w_stats.get("hit_clipped", 0):
+                    kw.pop("pass_budget_rays", None)  # calibration outgrown
+                    kw.pop("budget_rays", None)
+                    w_imgs, w_stats = trainer.render_image_windowed(sample, **kw)
                 tw = []
                 for _ in range(3):
                     t0 = time.perf_counter()
                     w_imgs, w_stats = trainer.render_image_windowed(sample, **kw)
                     tw.append(time.perf_counter() - t0)
+                assert not w_stats.get("clipped_alive", 0), w_stats
                 return min(tw), _psnr_vs_full(w_imgs["rgb"])
 
             r = _guard("render_windowed_s{}r{}".format(s, int(rf * 100)), _windowed, tries=2)

@@ -279,6 +279,20 @@ def test_windowed_adaptive_budget_and_refine(shared_trainer):
         mse = float(np.mean((np.asarray(img) - np.asarray(full["rgb"])) ** 2))
         return -10.0 * np.log10(max(mse, 1e-12))
 
+    # (c) counted pass ladder: with a huge n_pass ceiling, the
+    # valid-count prepass must DROP passes no ray can reach (the r4
+    # geometric ladder paid ~15 one-chunk floor passes at n_pass=16)
+    # while never clipping an alive ray — exactness holds at eps=0
+    win3, stats3 = trainer.render_image_windowed(
+        sample, n_pass=16, alive_frac=0.5, chunk_rays=64, bkg_color=bkg,
+        hit_frac=1.0, eps=0.0, adaptive_budget=True)
+    n_sample = int(trainer.model.fg_model.get_ray_cfgs("n_sample"))
+    assert len(stats3["pass_budget_rays"]) < 15, stats3
+    # ladder long enough for the deepest ray, bounded by the sample count
+    assert (1 + len(stats3["pass_budget_rays"])) * stats3["cap"] <= n_sample + stats3["cap"]
+    assert stats3["clipped_alive"] == 0, stats3
+    np.testing.assert_allclose(np.asarray(win3["rgb"]), np.asarray(full["rgb"]), atol=1e-4)
+
     plain, _ = trainer.render_image_windowed(
         sample, n_pass=4, alive_frac=1.0, chunk_rays=64, bkg_color=bkg,
         scale=2, eps=0.0, adaptive_budget=True)
