@@ -10,8 +10,10 @@ the actual graphs. Consecutive differences name where the step goes:
   B   B0 + geo/radiance nets value_and_grad (encoder fwd+bwd dominates)
   C   B + scatter-back to the (B, N) grid
   D   C + ray marching
-  E   the full step (loss + adam + ema + occupancy cond) — measured by
-      the caller; E - D is the optimizer/loss/occupancy remainder.
+  E1  the REAL loss_fn value_and_grad (full forward + loss + grads)
+  E2  E1 + adam (tx.update + apply_updates)
+  E   the full step (E2 + ema + occupancy cond + batch sampling) —
+      measured by the caller; E - E2 is the unnamed residue.
 
 Used by bench.py (stage_* keys in BENCH_r*.json) and
 scripts/probe_step_surgery.py.
@@ -145,11 +147,27 @@ def stage_table(trainer, feed, n_sample, budget, step_ms=None, iters=4):
 
         return model.apply({"params": p}, feed2, bound_state, k, method=fn, rngs={"sampling": k})
 
+    def loss_fn(p, feed, k):
+        out = model.apply(
+            {"params": p}, feed, inference_only=False, get_progress=False,
+            cur_epoch=0, bound_state=bound_state, rngs={"sampling": k})
+        return trainer.loss_factory(feed, out)["sum"]
+
+    def stageE2(p, feed, k):
+        import optax
+
+        loss, grads = jax.value_and_grad(loss_fn)(p, feed, k)
+        updates, opt_state = trainer.tx.update(grads, trainer.state["opt_state"], p)
+        new_p = optax.apply_updates(p, updates)
+        return loss, new_p, opt_state
+
     tA = _timed(jax.jit(stageA), params, feed, key, iters=iters)
     tB0 = _timed(jax.jit(stageB0), params, feed, key, iters=iters)
     tB = _timed(jax.jit(jax.value_and_grad(stageB)), params, feed, key, iters=iters)
     tC = _timed(jax.jit(jax.value_and_grad(stageC)), params, feed, key, iters=iters)
     tD = _timed(jax.jit(jax.value_and_grad(stageD)), params, feed, key, iters=iters)
+    tE1 = _timed(jax.jit(jax.value_and_grad(loss_fn)), params, feed, key, iters=iters)
+    tE2 = _timed(jax.jit(stageE2), params, feed, key, iters=iters)
 
     out = {
         "stage_sampling_ms": round(tA * 1e3, 1),
@@ -158,12 +176,14 @@ def stage_table(trainer, feed, n_sample, budget, step_ms=None, iters=4):
         "stage_scatterback_ms": round((tC - tB) * 1e3, 1),
         "stage_marching_ms": round((tD - tC) * 1e3, 1),
         "stage_cum_through_marching_ms": round(tD * 1e3, 1),
+        "stage_loss_grads_ms": round((tE1 - tD) * 1e3, 1),
+        "stage_adam_ms": round((tE2 - tE1) * 1e3, 1),
+        "stage_cum_through_adam_ms": round(tE2 * 1e3, 1),
     }
     if step_ms is not None:
-        rest = step_ms - tD * 1e3
-        out["stage_optimizer_loss_occ_ms"] = round(rest, 1)
-        # every stage is NAMED; coverage = the fraction of the step the
-        # truncation ladder itself reaches (the remainder is attributed to
-        # optimizer/loss/occupancy as one named lump)
-        out["stage_named_coverage"] = round(min(tD * 1e3 / max(step_ms, 1e-9), 1.0), 3)
+        # residue = ema + occupancy cond + on-device batch sampling + scan
+        # bookkeeping; coverage = how far the NAMED ladder reaches into the
+        # measured step
+        out["stage_residue_ms"] = round(step_ms - tE2 * 1e3, 1)
+        out["stage_named_coverage"] = round(min(tE2 * 1e3 / max(step_ms, 1e-9), 1.0), 3)
     return out

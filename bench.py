@@ -10,42 +10,213 @@ Baseline: the reference ArcNerf NGP trains lego at ~50k steps x 4096 rays
 in ~17 min on its GPU (docs/benchmark.md:48) ~= 2.0e5 rays/sec, used as the
 vs_baseline denominator.
 
+HANG-PROOF HARNESS (r5): round 4 shipped ZERO perf data because one hung
+remote-compile RPC stalled the bench past the driver timeout (BENCH_r04:
+rc=124, parsed=null) — exceptions were retry-guarded but a hang raises
+nothing. This run therefore splits into a SUPERVISOR (this process: pure
+python, no jax, cannot hang) and a WORKER subprocess that does the
+measuring. The worker checkpoints a cumulative partial-result JSON to a
+status file before/after every section; the supervisor enforces a hard
+wall-clock budget per section and globally, kills the worker on violation
+or on SIGTERM, and ALWAYS prints one JSON line (partial results + the
+bench_errors trail) and exits 0. rc=124 can never again mean "zero data".
+
 The JSON line carries the decomposition the number needs to be falsifiable:
 - flops_per_step / achieved_gflops: analytic MLP matmul work at the static
   compaction budget (fwd + ~2x bwd) over measured wall time,
 - hbm_bytes_per_step: hashgrid gather + backward scatter + full-table adam
   traffic (the encoder-side bandwidth story),
-- matmul_peak_gflops: an in-run bf16 matmul probe (lax.scan of chained
-  4096^2 matmuls, host-read timed) = what this session's chip+tunnel can
-  actually deliver through the same measurement path,
+- matmul_peak_gflops: an in-run bf16 matmul probe = what this session's
+  chip+tunnel can actually deliver through the same measurement path,
 - mfu_vs_probe: achieved / probe — program efficiency net of the tunnel,
-- dispatch_ms: median round-trip of a trivial jitted op (the tunnel tax
-  paid once per stride).
-
-Every section past the core train timing runs RETRY-GUARDED: the tunnel's
-remote-compile service drops connections under load (r4: two runs died
-with "response body closed before all bytes were read" in different
-sections), so a flaky section retries and then degrades to a
-bench_errors entry instead of killing the whole measurement.
+- dispatch_ms: median round-trip of a trivial jitted op,
+- stage_*_ms: named attribution of the live step (utils/step_surgery.py).
 
 Prints ONE json line.
 """
 
 import json
 import os
+import signal
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
-_BENCH_ERRORS = []
+_WORKER_ENV = "_ARCNERF_BENCH_WORKER_STATUS"
+
+# hard per-section wall-clock budgets (seconds) enforced by the supervisor;
+# generous hang-detectors, not targets — the r3 healthy run spent ~5 min on
+# the entire main block. The first remote compile on a cold tunnel is the
+# slow step (r3: ~5 min gap in the log covering compile + renders).
+_BUDGETS = {
+    "setup": 420.0,
+    "train_timing": 660.0,
+    "probes": 180.0,
+    "stage_table": 480.0,
+    "render_full": 360.0,
+    "render_windowed": 300.0,  # per tier
+    "render_compact": 240.0,
+    "render_fast": 240.0,
+    "render_interactive": 300.0,
+    "recipe": 600.0,
+}
+_GLOBAL_BUDGET = float(os.environ.get("BENCH_GLOBAL_BUDGET_S", "1680"))
 
 
-def _guard(what, fn, tries=3, sleep_s=20):
+# --------------------------------------------------------------- supervisor
+def _read_status(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _finalize(status, extra_errors):
+    out = (status or {}).get("out") or {}
+    errors = list(out.get("bench_errors", ())) + list((status or {}).get("errors", ()))
+    errors += extra_errors
+    if "metric" not in out:
+        # the core timing never completed: emit an explicit zero so the
+        # artifact is parseable and self-describing rather than absent
+        out = dict(out)
+        out.update({"metric": "ngp_train_rays_per_sec", "value": 0.0,
+                    "unit": "rays/s", "vs_baseline": 0.0})
+    if errors:
+        out["bench_errors"] = errors
+    return out
+
+
+def supervisor_main():
+    fd, status_path = tempfile.mkstemp(prefix="bench_status_", suffix=".json")
+    os.close(fd)
+    env = dict(os.environ)
+    env[_WORKER_ENV] = status_path
+    env.setdefault("BENCH_T0", str(time.time()))
+    # worker stdout -> our stderr: the one stdout JSON line is ours to print
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            stdout=sys.stderr, stderr=sys.stderr, env=env)
+
+    killed = []
+    t_global = time.time()
+
+    def _kill(reason):
+        killed.append(reason)
+        try:
+            proc.kill()
+        except Exception:
+            pass
+
+    def _on_term(signum, frame):
+        _kill("supervisor received signal {} (driver timeout?)".format(signum))
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    while proc.poll() is None:
+        time.sleep(1.0)
+        st = _read_status(status_path)
+        now = time.time()
+        if now - t_global > _GLOBAL_BUDGET:
+            sec = (st or {}).get("section")
+            _kill("global budget {}s exceeded (in section {})".format(
+                int(_GLOBAL_BUDGET), sec))
+            break
+        if st and st.get("section") and not st.get("done"):
+            budget = float(st.get("section_budget", 600.0))
+            start = float(st.get("section_start", now))
+            if now - start > budget:
+                _kill("section {} exceeded its {}s budget (hang?)".format(
+                    st["section"], int(budget)))
+                break
+    try:
+        proc.wait(timeout=30)
+    except Exception:
+        try:
+            proc.kill()
+            proc.wait(timeout=10)
+        except Exception:
+            killed.append("worker unkillable")
+
+    st = _read_status(status_path)
+    if st is None and not killed:
+        killed.append("worker exited rc={} with no status".format(proc.returncode))
+    elif proc.returncode not in (0, None) and not killed and not (st or {}).get("done"):
+        killed.append("worker exited rc={} in section {}".format(
+            proc.returncode, (st or {}).get("section")))
+    out = _finalize(st, killed)
+    # persist a copy for the judge next to the round artifacts
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "experiments", "bench_last_partial.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except Exception:
+        pass
+    try:
+        os.unlink(status_path)
+    except Exception:
+        pass
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+# ------------------------------------------------------------------ worker
+class _Status:
+    """Cumulative results + section heartbeat, checkpointed atomically so
+    the supervisor can always print whatever exists."""
+
+    def __init__(self, path):
+        self.path = path
+        self.out = {}
+        self.errors = []
+        self.section = None
+        self._write()
+
+    def _write(self):
+        tmp = self.path + ".tmp"
+        payload = {"out": self.out, "errors": self.errors, "done": False,
+                   "section": self.section}
+        if self.section is not None:
+            payload["section_start"] = self._start
+            payload["section_budget"] = self._budget
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self.path)
+
+    def begin(self, name, budget=None):
+        self.section = name
+        self._start = time.time()
+        self._budget = budget if budget is not None else _BUDGETS.get(name, 600.0)
+        self._write()
+        sys.stderr.write("bench: section {} (budget {}s)\n".format(name, int(self._budget)))
+        sys.stderr.flush()
+
+    def end(self, merge=None):
+        if merge:
+            self.out.update(merge)
+        self.section = None
+        self._write()
+
+    def error(self, msg):
+        self.errors.append(msg)
+        self._write()
+
+    def done(self):
+        self.section = None
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"out": self.out, "errors": self.errors, "done": True}, f)
+        os.replace(tmp, self.path)
+
+
+def _guard(status, what, fn, tries=2, sleep_s=15):
     """Run a bench section with retries on tunnel flakes; on persistent
     failure record the error and return None so the section's keys are
-    simply absent from the JSON line."""
+    simply absent from the JSON line. (Hangs are the supervisor's job.)"""
     last = None
     for i in range(tries):
         try:
@@ -57,7 +228,7 @@ def _guard(what, fn, tries=3, sleep_s=20):
             sys.stderr.flush()
             if i + 1 < tries:
                 time.sleep(sleep_s)
-    _BENCH_ERRORS.append("{}: {}".format(what, str(last)[:200]))
+    status.error("{}: {}".format(what, str(last)[:200]))
     return None
 
 
@@ -137,9 +308,25 @@ def _analytic_per_step(cfgs, n_rays):
     return flops, gather + scatter + adam, P
 
 
-def main():
+def worker_main(status):
+    t_bench0 = float(os.environ.get("BENCH_T0", time.time()))
+
+    def remaining():
+        return _GLOBAL_BUDGET - (time.time() - t_bench0)
+
+    status.begin("setup")
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: the first remote compile is the bench's
+    # slowest (and in r4, fatal) step; across rounds on the same host the
+    # cache turns it into a read
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("ARCNERF_BENCH_CACHE", "/root/.cache/arcnerf_tpu_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     from arcnerf_tpu.trainer import ArcNerfTrainer
     from arcnerf_tpu.utils.cfgs import load_configs, update_configs_by_dotlist
@@ -185,6 +372,7 @@ def main():
     update_configs_by_dotlist(cfgs, ["--dataset.train.scheduler.dynamic_batch_size.update_epoch", "1000000"])
 
     trainer = ArcNerfTrainer(cfgs)
+    status.end()
 
     def stride(epoch):
         return trainer.train_steps(epoch, scan_steps)
@@ -206,9 +394,11 @@ def main():
         assert final_loss == final_loss, "loss is NaN"
         return time.perf_counter() - t0
 
-    elapsed = _guard("train_timing", _train_timing)
+    status.begin("train_timing")
+    elapsed = _guard(status, "train_timing", _train_timing)
     if elapsed is None:
-        raise RuntimeError("core train timing failed: {}".format(_BENCH_ERRORS))
+        status.done()
+        raise RuntimeError("core train timing failed")
 
     steps = timed_strides * scan_steps
     rays_per_sec = steps * n_rays / elapsed
@@ -217,11 +407,8 @@ def main():
     flops_per_step, hbm_bytes_per_step, budget_pts = _analytic_per_step(cfgs, n_rays)
     achieved_gflops = flops_per_step / step_time / 1e9
 
-    peak_gflops = _guard("matmul_peak", lambda: _matmul_peak_probe(jax, jnp, smoke)) or 0.0
-    dispatch_ms = _guard("dispatch", lambda: _dispatch_probe(jax, jnp)) or 0.0
-
     baseline = 2.0e5  # reference ArcNerf NGP GPU throughput (see header)
-    out = {
+    status.end({
         "metric": "ngp_train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
@@ -234,12 +421,37 @@ def main():
         "achieved_gflops": round(achieved_gflops, 2),
         "hbm_bytes_per_step": hbm_bytes_per_step,
         "achieved_hbm_gbps": round(hbm_bytes_per_step / step_time / 1e9, 2),
+        "n_devices": int(trainer.mesh.devices.size),
+        "proj_min_ngp_50kx4096": round(50000 * 4096 / rays_per_sec / 60.0, 1),
+    })
+
+    status.begin("probes")
+    peak_gflops = _guard(status, "matmul_peak", lambda: _matmul_peak_probe(jax, jnp, smoke)) or 0.0
+    dispatch_ms = _guard(status, "dispatch", lambda: _dispatch_probe(jax, jnp)) or 0.0
+    status.end({
         "matmul_peak_gflops": round(peak_gflops, 1),
         "mfu_vs_probe": round(achieved_gflops / peak_gflops, 4) if peak_gflops else None,
         "dispatch_ms": round(dispatch_ms, 2),
-        "n_devices": int(trainer.mesh.devices.size),
-        "proj_min_ngp_50kx4096": round(50000 * 4096 / rays_per_sec / 60.0, 1),
-    }
+    })
+
+    # step-stage attribution (VERDICT r3 item 4): named stages of the live
+    # step at the bench shapes; stage_named_coverage tells how much of
+    # step_ms the truncation ladder itself reaches (the remainder is the
+    # optimizer/loss/occupancy lump, also named). Skippable for quick runs.
+    if not smoke and not os.environ.get("BENCH_NO_STAGES") and remaining() > 540:
+        status.begin("stage_table")
+
+        def _stages():
+            from arcnerf_tpu.datasets import get_model_feed_in
+            from arcnerf_tpu.parallel.mesh import shard_batch
+            from arcnerf_tpu.utils.step_surgery import stage_table
+
+            batch = trainer.pipeline.get_train_batch(0)
+            feed, _ = get_model_feed_in(batch)
+            feed = shard_batch(feed, trainer.mesh)
+            return stage_table(trainer, feed, 128, budget_pts, step_ms=step_time * 1e3)
+
+        status.end(_guard(status, "stage_table", _stages) or {})
 
     # north-star bridge (BASELINE.json: NGP lego >=35 PSNR <5 min + interactive
     # 800x800 FPS): measure one full 800x800 render through the eval path and
@@ -272,15 +484,18 @@ def main():
         assert imgs["rgb"].shape[0] == render_wh
         return min(tr), imgs
 
-    full = _guard("render_full", _full_render)
+    status.begin("render_full")
+    full = _guard(status, "render_full", _full_render)
     imgs = None
     if full is not None:
         render_s, imgs = full
-        out.update({
+        status.end({
             "render_{}px_ms".format(render_wh): round(render_s * 1e3, 1),
             "render_fps_{}px".format(render_wh): round(1.0 / render_s, 3),
             "render_cap_pts": render_cap,
         })
+    else:
+        status.end()
 
     def _psnr_vs_full(rgb):
         mse = float(np.mean((np.asarray(rgb) - np.asarray(imgs["rgb"])) ** 2))
@@ -296,74 +511,13 @@ def main():
         return min(ts), _psnr_vs_full(fast["rgb"]), fstats
 
     if imgs is not None:
-        # compacted full-quality render: occupancy pre-pass ray compaction at
-        # the SAME cap — for models without a learned background this is
-        # pixel-identical to render_image (hit rays run the identical program,
-        # misses are exact background), at ~hit_frac of the chunks
-        def _compact():
-            trainer.set_render_cap(render_cap)
-            return _timed_fast(0.42)
-
-        r = _guard("render_compact", _compact)
-        if r is not None:
-            out.update({
-                "render_compact_{}px_ms".format(render_wh): round(r[0] * 1e3, 1),
-                "render_fps_{}px_compact".format(render_wh): round(1.0 / r[0], 3),
-                "psnr_compact_vs_full": round(r[1], 2),
-            })
-
-        # interactive mode: compaction + cap 4 (shrinks the compaction budget
-        # to chunk*4 — at 32k chunks cap 8 does NOT: min(2^18, 32k*8) = 2^18)
-        def _fast():
-            trainer.set_render_cap(4)
-            return _timed_fast(0.42)
-
-        r = _guard("render_fast", _fast)
-        if r is not None:
-            out.update({
-                "render_fast_{}px_ms".format(render_wh): round(r[0] * 1e3, 1),
-                "render_fps_{}px_fast".format(render_wh): round(1.0 / r[0], 3),
-                "psnr_fast_vs_full": round(r[1], 2),
-                "fast_hit_frac": round(r[2]["hit_frac"], 3),
-                "fast_clipped_rays": int(r[2]["clipped_rays"]),
-            })
-
-        # interactive tier: adaptive-resolution render (the reference viewer's
-        # interaction-time lever, ns_viewer/server/viewer_utils.py:657) + cap 4
-        # + coarse 64-step ladder, bilinear-upsampled to the full frame. Cost
-        # scales with shaded slots (hit_rays * cap); measured at scale 3 the
-        # upsampled PSNR-vs-full EQUALS the full-res cap-4 tier's (25.6 vs
-        # 25.5 dB — the cap approximation dominates the error, so resolution
-        # is quality-free here; scripts/probe_render_inter.py).
-        inter_scale = 1 if smoke else 3
-
-        def _interactive():
-            trainer.set_render_cap(4, n_sample=64)
-            inter, istats = trainer.render_image_interactive(
-                sample, scale=inter_scale, chunk_rays=render_chunk, hit_frac=0.42)  # compile
-            ti = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                inter, istats = trainer.render_image_interactive(
-                    sample, scale=inter_scale, chunk_rays=render_chunk, hit_frac=0.42)
-                ti.append(time.perf_counter() - t0)
-            return min(ti), _psnr_vs_full(inter["rgb"])
-
-        r = _guard("render_interactive", _interactive)
-        if r is not None:
-            out.update({
-                "render_interactive_{}px_ms".format(render_wh): round(r[0] * 1e3, 1),
-                "render_fps_{}px_interactive".format(render_wh): round(1.0 / r[0], 3),
-                "psnr_interactive_vs_full": round(r[1], 2),
-                "interactive_scale": inter_scale,
-            })
-
         # faithful interactive tier (VERDICT r3 item 3): transmittance-
         # continuation windows — exact-up-to-eps per-subpixel samples, so the
         # only approximation at scale>1 is the upsample (measured ceiling:
         # 40.6 dB at scale 2, 37.7 at scale 3 on this scene,
         # scripts/probe_upsample_bound.py). Report the ladder and the best
-        # tier clearing 30 dB vs the full render.
+        # tier clearing 30 dB vs the full render. Runs BEFORE the legacy
+        # compact/fast tiers: these are the keys the verdict asks for.
         win_cap = 8
         n_sample_cfg = 32 if smoke else 128
         n_pass = max(1, -(-n_sample_cfg // win_cap))
@@ -374,6 +528,10 @@ def main():
             (1, 0.0), (2, 0.0), (3, 0.0), (3, 0.05), (4, 0.0), (4, 0.05))
         best = None
         for s, rf in tiers:
+            if not smoke and remaining() < 420:
+                status.error("windowed tiers truncated at s{} (global budget)".format(s))
+                break
+
             def _windowed(s=s, rf=rf):
                 trainer.set_render_cap(win_cap, window=True)
                 kw = dict(n_pass=n_pass, chunk_rays=render_chunk,
@@ -401,38 +559,87 @@ def main():
                 assert not w_stats.get("clipped_alive", 0), w_stats
                 return min(tw), _psnr_vs_full(w_imgs["rgb"])
 
-            r = _guard("render_windowed_s{}r{}".format(s, int(rf * 100)), _windowed, tries=2)
+            tag = "s{}".format(s) if rf == 0.0 else "s{}r{}".format(s, int(rf * 100))
+            status.begin("render_windowed_{}".format(tag), _BUDGETS["render_windowed"])
+            r = _guard(status, "render_windowed_{}".format(tag), _windowed, tries=2)
             if r is None:
+                status.end()
                 continue
             t_w, p_w = r
-            tag = "s{}".format(s) if rf == 0.0 else "s{}r{}".format(s, int(rf * 100))
-            out["render_windowed_{}_ms".format(tag)] = round(t_w * 1e3, 1)
-            out["render_windowed_{}_fps".format(tag)] = round(1.0 / t_w, 3)
-            out["psnr_windowed_{}_vs_full".format(tag)] = round(p_w, 2)
+            status.end({
+                "render_windowed_{}_ms".format(tag): round(t_w * 1e3, 1),
+                "render_windowed_{}_fps".format(tag): round(1.0 / t_w, 3),
+                "psnr_windowed_{}_vs_full".format(tag): round(p_w, 2),
+            })
             if p_w >= 30.0 and (best is None or 1.0 / t_w > best[1]):
                 best = (tag, 1.0 / t_w, p_w)
         if best is not None:
-            out["faithful_tier"] = "windowed_{}".format(best[0])
-            out["faithful_tier_fps"] = round(best[1], 3)
-            out["faithful_tier_psnr_vs_full"] = round(best[2], 2)
+            status.end({
+                "faithful_tier": "windowed_{}".format(best[0]),
+                "faithful_tier_fps": round(best[1], 3),
+                "faithful_tier_psnr_vs_full": round(best[2], 2),
+            })
+
+        # compacted full-quality render: occupancy pre-pass ray compaction at
+        # the SAME cap — for models without a learned background this is
+        # pixel-identical to render_image (hit rays run the identical program,
+        # misses are exact background), at ~hit_frac of the chunks
+        if remaining() > 420:
+            def _compact():
+                trainer.set_render_cap(render_cap)
+                return _timed_fast(0.42)
+
+            status.begin("render_compact")
+            r = _guard(status, "render_compact", _compact)
+            status.end({
+                "render_compact_{}px_ms".format(render_wh): round(r[0] * 1e3, 1),
+                "render_fps_{}px_compact".format(render_wh): round(1.0 / r[0], 3),
+                "psnr_compact_vs_full": round(r[1], 2),
+            } if r is not None else {})
+
+        # interactive mode: compaction + cap 4 (shrinks the compaction budget
+        # to chunk*4 — at 32k chunks cap 8 does NOT: min(2^18, 32k*8) = 2^18)
+        if remaining() > 360:
+            def _fast():
+                trainer.set_render_cap(4)
+                return _timed_fast(0.42)
+
+            status.begin("render_fast")
+            r = _guard(status, "render_fast", _fast)
+            status.end({
+                "render_fast_{}px_ms".format(render_wh): round(r[0] * 1e3, 1),
+                "render_fps_{}px_fast".format(render_wh): round(1.0 / r[0], 3),
+                "psnr_fast_vs_full": round(r[1], 2),
+                "fast_hit_frac": round(r[2]["hit_frac"], 3),
+                "fast_clipped_rays": int(r[2]["clipped_rays"]),
+            } if r is not None else {})
+
+        # interactive tier: adaptive-resolution render (the reference viewer's
+        # interaction-time lever, ns_viewer/server/viewer_utils.py:657) + cap 4
+        # + coarse 64-step ladder, bilinear-upsampled to the full frame.
+        inter_scale = 1 if smoke else 3
+        if remaining() > 300:
+            def _interactive():
+                trainer.set_render_cap(4, n_sample=64)
+                inter, istats = trainer.render_image_interactive(
+                    sample, scale=inter_scale, chunk_rays=render_chunk, hit_frac=0.42)  # compile
+                ti = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    inter, istats = trainer.render_image_interactive(
+                        sample, scale=inter_scale, chunk_rays=render_chunk, hit_frac=0.42)
+                    ti.append(time.perf_counter() - t0)
+                return min(ti), _psnr_vs_full(inter["rgb"])
+
+            status.begin("render_interactive")
+            r = _guard(status, "render_interactive", _interactive)
+            status.end({
+                "render_interactive_{}px_ms".format(render_wh): round(r[0] * 1e3, 1),
+                "render_fps_{}px_interactive".format(render_wh): round(1.0 / r[0], 3),
+                "psnr_interactive_vs_full": round(r[1], 2),
+                "interactive_scale": inter_scale,
+            } if r is not None else {})
         trainer.set_render_cap(render_cap)
-
-    # step-stage attribution (VERDICT r3 item 4): named stages of the live
-    # step at the bench shapes; stage_named_coverage tells how much of
-    # step_ms the truncation ladder itself reaches (the remainder is the
-    # optimizer/loss/occupancy lump, also named). Skippable for quick runs.
-    if not smoke and not os.environ.get("BENCH_NO_STAGES"):
-        def _stages():
-            from arcnerf_tpu.datasets import get_model_feed_in
-            from arcnerf_tpu.parallel.mesh import shard_batch
-            from arcnerf_tpu.utils.step_surgery import stage_table
-
-            batch = trainer.pipeline.get_train_batch(0)
-            feed, _ = get_model_feed_in(batch)
-            feed = shard_batch(feed, trainer.mesh)
-            return stage_table(trainer, feed, 128, budget_pts, step_ms=step_time * 1e3)
-
-        out.update(_guard("stage_table", _stages) or {})
 
     # ----------------------------------------------------------------------
     # Recipe-shaped variant (VERDICT r2 item 5): the projection above rests
@@ -442,7 +649,7 @@ def main():
     # scene: warm up occupancy at the recipe's 4096-ray batch, read the
     # measured valid-points profile, let the dynamic-batch rule pick the
     # steady bucket for the 2^18 budget, and time at that bucket.
-    if not smoke:
+    if not smoke and remaining() > 480:
         def _recipe():
             cfgs_r = load_configs(os.path.join(root, "configs", "expr", "synthetic_ngp.yaml"))
             update_configs_by_dotlist(cfgs_r, [
@@ -499,11 +706,20 @@ def main():
                     50000 * 4096 / recipe_rays_per_sec / 60.0, 1),
             }
 
-        out.update(_guard("recipe", _recipe) or {})
+        status.begin("recipe")
+        status.end(_guard(status, "recipe", _recipe) or {})
+    elif not smoke:
+        status.error("recipe skipped (global budget)")
 
-    if _BENCH_ERRORS:
-        out["bench_errors"] = _BENCH_ERRORS
-    print(json.dumps(out))
+    status.done()
+
+
+def main():
+    status_path = os.environ.get(_WORKER_ENV)
+    if status_path:
+        worker_main(_Status(status_path))
+    else:
+        sys.exit(supervisor_main())
 
 
 if __name__ == "__main__":
