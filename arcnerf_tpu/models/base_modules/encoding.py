@@ -850,6 +850,27 @@ class SHEmbedder(nn.Module):
         return out[0] if len(out) == 1 else jnp.concatenate(out, axis=-1)
 
 
+def hash_variant_from_cfgs(model_cfgs):
+    """Resolved hash-structure variant of the model's hashgrid encoder:
+    'quad' | 'pair' | 'ngp', or None when the geometry encoder is not a
+    HashGrid. Recorded in checkpoints (model_io.save_model meta) and
+    asserted at load: a table trained under one hash layout decodes as
+    noise under another (quad_hash/pair_hash change the hash function on
+    hashed levels), so a default flip must never silently re-interpret an
+    existing checkpoint."""
+    from ...utils.cfgs import get_value_from_cfgs_field
+
+    geo = get_value_from_cfgs_field(model_cfgs, "geometry", None)
+    enc = get_value_from_cfgs_field(geo, "encoder", None)
+    if enc is None or str(get_value_from_cfgs_field(enc, "type", "")) != "HashGrid":
+        return None
+    if bool(get_value_from_cfgs_field(enc, "quad_hash", HashGridEmbedder.quad_hash)):
+        return "quad"
+    if bool(get_value_from_cfgs_field(enc, "pair_hash", HashGridEmbedder.pair_hash)):
+        return "pair"
+    return "ngp"
+
+
 def fast_hash(idx, table_size):
     """xor-prime spatial hash of integer corner coords.
 

@@ -121,6 +121,15 @@ class ArcNerfTrainer:
 
         # model/loss/metric
         self.model = build_model(cfgs, self.logger)
+        # compatibility markers saved with every checkpoint and asserted on
+        # load: the hashgrid hash layout (quad/pair/ngp) decides how table
+        # entries are addressed — loading across variants is silent noise
+        from ..models.base_modules.encoding import hash_variant_from_cfgs
+
+        self._ckpt_meta = {}
+        hv = hash_variant_from_cfgs(cfgs.model)
+        if hv is not None:
+            self._ckpt_meta["hash_variant"] = hv
         self.loss_factory = build_loss(cfgs, self.logger)
         self.metric_factory = build_metric(cfgs, self.logger) if valid_key_in_cfgs(cfgs, "metric") else None
 
@@ -159,7 +168,7 @@ class ArcNerfTrainer:
         if resume and resume != "None" and os.path.exists(str(resume)):
             start_cfg = int(get_value_from_cfgs_field(cfgs.progress, "start_epoch", -1))
             self.state, step = load_model(str(resume), self.state, restore_optimizer=start_cfg < 0,
-                                          logger=self.logger)
+                                          logger=self.logger, expected_meta=self._ckpt_meta)
             self.start_epoch = step if start_cfg < 0 else 0
 
         # occupancy optimize cadence
@@ -993,8 +1002,14 @@ class ArcNerfTrainer:
             n_alive = jnp.sum(alive.astype(jnp.int32))
             alive_counts.append(n_alive)
             clipped = clipped + jnp.maximum(n_alive - budget2, 0)
-            g2 = jnp.cumsum(alive.astype(jnp.int32)) - 1
-            g2 = jnp.where(alive, jnp.clip(g2, 0, budget2), budget2)
+            rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+            # an alive ray whose rank exceeds this pass's budget cannot be
+            # shaded this round — RETIRE it (consistent truncation: partial
+            # integral so far + T*bkg) instead of leaving it alive to render
+            # window p+1 with window p missing; clipped_alive still reports
+            # the quality event to the caller
+            may_more = may_more & ~(alive & (rank >= budget2))
+            g2 = jnp.where(alive, jnp.clip(rank, 0, budget2), budget2)
             sel2 = jnp.zeros((budget2 + 1,), jnp.int32).at[g2].set(
                 jnp.arange(budget1, dtype=jnp.int32), mode="drop")[:budget2]
             valid2 = jnp.arange(budget2, dtype=jnp.int32) < jnp.minimum(n_alive, budget2)
@@ -1028,6 +1043,14 @@ class ArcNerfTrainer:
         # bkg color for rgb, the model's depth_far for depth, 0 for mask
         miss_depth = jnp.asarray(
             float(self.model.fg_model.get_render_cfgs()["depth_far"]), jnp.float32)
+        if "n_win_pts" in out1:
+            # a prepass-HIT ray with zero valid samples in its first window
+            # must fill like the exact renderer's invalid rays (depth_far +
+            # miss color), not keep the zero-fill partial integral
+            empty = out1["n_win_pts"] <= 0
+            depth = jnp.where(empty, miss_depth, depth)
+            if hit_bkg is None:  # else T=1 already composited the bkg above
+                rgb = jnp.where(empty[:, None], miss_rgb[None].astype(rgb.dtype), rgb)
         imgs = {}
         for k, flat in (("rgb", rgb), ("depth", depth), ("mask", mask)):
             if k == "rgb":
@@ -1334,7 +1357,7 @@ class ArcNerfTrainer:
                     loss_val = float(stats["loss"])
                     if debug_mode and loss_val != loss_val:  # NaN guard
                         if is_master():
-                            save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="nan_abort")
+                            save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="nan_abort", meta=self._ckpt_meta)
                         raise FloatingPointError("NaN loss at epoch {} — state saved".format(epoch))
                     msg = "epoch {:6d} | loss {:.5f} | psnr {:.2f} | {:.3f} s/iter | rays {}".format(
                         epoch, loss_val, float(stats.get("psnr", 0.0)),
@@ -1352,18 +1375,18 @@ class ArcNerfTrainer:
                 if epoch_infer > 0 and epoch % epoch_infer == 0:
                     self.infer_epoch(epoch)
                 if is_master() and epoch_save > 0 and epoch % epoch_save == 0:
-                    save_model(self.ckpt_dir, self.state, epoch, self.logger)
+                    save_model(self.ckpt_dir, self.state, epoch, self.logger, meta=self._ckpt_meta)
                 if is_master() and time.time() - self._last_save_time > save_time:
-                    save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="latest")
+                    save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="latest", meta=self._ckpt_meta)
                     self._last_save_time = time.time()
         except KeyboardInterrupt:
             if is_master():
-                save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="latest")
+                save_model(self.ckpt_dir, self.state, epoch, self.logger, keep_name="latest", meta=self._ckpt_meta)
             self.logger.add_log("Interrupted; saved latest at epoch {}".format(epoch))
             raise
 
         if is_master():
-            save_model(self.ckpt_dir, self.state, self.total_epoch, self.logger, keep_name="final")
+            save_model(self.ckpt_dir, self.state, self.total_epoch, self.logger, keep_name="final", meta=self._ckpt_meta)
         self.logger.add_log("Training done in {:.1f} min".format((time.time() - t_start) / 60.0))
         return self.state
 

@@ -18,11 +18,33 @@ def _ckpt_path(ckpt_dir, name):
     return os.path.join(ckpt_dir, "{}.ckpt".format(name))
 
 
-def save_model(ckpt_dir, state, step, logger=None, keep_name=None):
-    """Serialize the train-state pytree. Writes model_step{N} and latest."""
+def check_ckpt_meta(meta, expected_meta, path=""):
+    """Assert loaded checkpoint ``meta`` matches ``expected_meta`` on every
+    shared key — e.g. the encoder hash variant: a hashgrid table trained
+    under one hash layout decodes as noise under another, so a mismatch is
+    a hard error, not a warning. Checkpoints without meta (or keys) pass."""
+    if not meta or not expected_meta:
+        return
+    for k, want in expected_meta.items():
+        got = meta.get(k)
+        if got is not None and want is not None and got != want:
+            raise ValueError(
+                "checkpoint {} was saved with {}={!r} but the current model resolves "
+                "{}={!r} — pin the matching setting in the config (e.g. "
+                "model.geometry.encoder.quad_hash/pair_hash) before loading".format(
+                    path, k, got, k, want))
+
+
+def save_model(ckpt_dir, state, step, logger=None, keep_name=None, meta=None):
+    """Serialize the train-state pytree. Writes model_step{N} and latest.
+    ``meta``: small dict of compatibility markers (e.g. hash_variant)
+    checked against the loading model by check_ckpt_meta."""
     os.makedirs(ckpt_dir, exist_ok=True)
     host_state = jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, state)
-    payload = serialization.to_bytes({"step": int(step), "state": host_state})
+    record = {"step": int(step), "state": host_state}
+    if meta:
+        record["meta"] = dict(meta)
+    payload = serialization.to_bytes(record)
     names = [keep_name] if keep_name else ["model_step{}".format(step), "latest"]
     for name in names:
         with open(_ckpt_path(ckpt_dir, name), "wb") as f:
@@ -31,16 +53,17 @@ def save_model(ckpt_dir, state, step, logger=None, keep_name=None):
         logger.add_log("Saved checkpoint at step {} -> {}".format(step, names))
 
 
-def load_raw_state(path):
+def load_raw_state(path, expected_meta=None):
     """Loose restore: checkpoint -> (raw nested-dict state, step). Use when
     the caller only wants a subtree (e.g. eval needs params + bound_state,
-    not the optimizer)."""
+    not the optimizer). ``expected_meta`` hard-fails on marker mismatch."""
     from flax import serialization
 
     if os.path.isdir(path):
         path = _ckpt_path(path, "latest")
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
+    check_ckpt_meta(raw.get("meta"), expected_meta, path)
     return raw["state"], int(raw["step"])
 
 
@@ -51,18 +74,18 @@ def restore_subtree(template, raw):
     return serialization.from_state_dict(template, raw)
 
 
-def load_model(path, state_template, restore_optimizer=True, logger=None):
+def load_model(path, state_template, restore_optimizer=True, logger=None, expected_meta=None):
     """Restore into ``state_template`` (same treedef). Keys whose shapes
     mismatch keep the template value with a warning (reference
-    model_io.py:29-36)."""
+    model_io.py:29-36). ``expected_meta`` hard-fails on marker mismatch
+    (check_ckpt_meta)."""
     if os.path.isdir(path):
         path = _ckpt_path(path, "latest")
     with open(path, "rb") as f:
-        payload = f.read()
-    target = {"step": 0, "state": state_template}
-    restored = serialization.from_bytes(target, payload)
-    step = int(restored["step"])
-    loaded = restored["state"]
+        raw = serialization.msgpack_restore(f.read())
+    check_ckpt_meta(raw.get("meta"), expected_meta, path)
+    step = int(raw["step"])
+    loaded = serialization.from_state_dict(state_template, raw["state"])
 
     flat_t, treedef = jax.tree_util.tree_flatten(state_template)
     flat_l, _ = jax.tree_util.tree_flatten(loaded)

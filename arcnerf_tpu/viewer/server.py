@@ -118,7 +118,9 @@ def _ray_aabb_bounds(rays_o, rays_d, box):
     t1 <= t0 (fg_model masks them to background). Host-side numpy — the
     crop geometry never touches the device."""
     lo, hi = box[:3], box[3:]
-    inv = 1.0 / np.where(np.abs(rays_d) < 1e-9, 1e-9, rays_d)
+    # keep the SIGN of near-zero components: +1e-9 for a negative-going
+    # ray would flip the slab orientation and invert the crop interval
+    inv = 1.0 / np.where(np.abs(rays_d) < 1e-9, np.copysign(1e-9, rays_d), rays_d)
     ta = (lo[None] - rays_o) * inv
     tb = (hi[None] - rays_o) * inv
     t0 = np.max(np.minimum(ta, tb), axis=1)

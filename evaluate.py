@@ -42,7 +42,9 @@ def main():
     model_pt = get_value_from_cfgs_field(cfgs, "model_pt", None)
     assert model_pt is not None, "Please specify the model_pt for evaluation"
     assert os.path.exists(str(model_pt)), "model_pt {} does not exist".format(model_pt)
-    raw, step = load_raw_state(str(model_pt))
+    from arcnerf_tpu.models.base_modules.encoding import hash_variant_from_cfgs
+    hv = hash_variant_from_cfgs(cfgs.model)
+    raw, step = load_raw_state(str(model_pt), expected_meta={"hash_variant": hv} if hv else None)
     params = restore_subtree(variables["params"], raw["params"])
     if raw.get("bound_state"):
         bound_state = restore_subtree(bound_state, raw["bound_state"])

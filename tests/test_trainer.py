@@ -137,6 +137,38 @@ def test_checkpoint_roundtrip():
         np.testing.assert_allclose(np.asarray(restored2["params"]["dense"]["bias"]), 0.0)
 
 
+def test_checkpoint_meta_guard():
+    """A checkpoint saved under one hashgrid hash layout must refuse to
+    load into a model resolving a different one (silent quality collapse
+    otherwise); meta-less checkpoints and matching meta load fine."""
+    state = {"params": {"w": jnp.ones(3)}, "step": jnp.asarray(1, jnp.int32)}
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    with tempfile.TemporaryDirectory() as d:
+        save_model(d, state, 1, meta={"hash_variant": "quad"})
+        _, step = load_model(d, template, expected_meta={"hash_variant": "quad"})
+        assert step == 1
+        load_model(d, template)  # no expectation -> fine
+        with pytest.raises(ValueError, match="hash_variant"):
+            load_model(d, template, expected_meta={"hash_variant": "pair"})
+    with tempfile.TemporaryDirectory() as d:
+        save_model(d, state, 1)  # legacy checkpoint without meta
+        _, step = load_model(d, template, expected_meta={"hash_variant": "quad"})
+        assert step == 1
+
+    from arcnerf_tpu.models.base_modules.encoding import hash_variant_from_cfgs
+    from arcnerf_tpu.utils.cfgs import dict_to_obj
+
+    assert hash_variant_from_cfgs(dict_to_obj(
+        {"geometry": {"encoder": {"type": "HashGrid"}}})) == "quad"  # defaults
+    assert hash_variant_from_cfgs(dict_to_obj(
+        {"geometry": {"encoder": {"type": "HashGrid", "quad_hash": False}}})) == "pair"
+    assert hash_variant_from_cfgs(dict_to_obj(
+        {"geometry": {"encoder": {"type": "HashGrid", "quad_hash": False,
+                                  "pair_hash": False}}})) == "ngp"
+    assert hash_variant_from_cfgs(dict_to_obj(
+        {"geometry": {"encoder": {"type": "Freq"}}})) is None
+
+
 @pytest.mark.slow
 def test_e2e_micro_training():
     """Micro NeRF training on the synthetic scene: PSNR must improve
