@@ -389,8 +389,13 @@ _MM_FWD_MAX_R = int(os.environ.get("ARCNERF_MM_FWD", "1263"))
 
 
 def _fetch_rows(rows_all, ridx, mm):
-    """(R, 128) rows + (n,) row ids -> (n, 128) f32 rows, via one-hot
-    matmul when ``mm`` (static) else row gather."""
+    """(R, 128) rows + (n,) row ids -> (n, 128) rows, via one-hot matmul
+    when ``mm`` (static, f32 out) else row gather — which keeps the TABLE
+    dtype: the f32 upcast happens inside the consumer's fused
+    multiply-reduce, so a bf16 table never materializes an (n, 128) f32
+    copy (xprof r5: the astype-then-extract form spent 51 ms/step
+    re-reading f32 rows the gather had just written — half of it was the
+    upcast's own traffic)."""
     if mm:
         R = rows_all.shape[0]
         e = (ridx[:, None] == jax.lax.broadcasted_iota(
@@ -398,7 +403,7 @@ def _fetch_rows(rows_all, ridx, mm):
         return jax.lax.dot_general(
             e, rows_all.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    return jnp.take(rows_all, ridx, axis=0).astype(jnp.float32)
+    return jnp.take(rows_all, ridx, axis=0)
 
 
 def _fused_gather_extract(rows_all, ridx, lane0, ws, offs, F, mm=False):
@@ -421,7 +426,10 @@ def _fused_gather_extract(rows_all, ridx, lane0, ws, offs, F, mm=False):
         m = 0.0
         for w, off in zip(ws, offs):
             m = m + jnp.where(q == off // F, w[:, None], 0.0)
-        return jnp.sum(r.reshape(n, S, F) * m[:, :, None], axis=1).T  # (F, n)
+        # upcast INSIDE the reduce so it fuses (bf16 rows never round-trip
+        # HBM as f32); value-identical to astype-then-multiply
+        rf = r.reshape(n, S, F).astype(jnp.float32)
+        return jnp.sum(rf * m[:, :, None], axis=1).T  # (F, n)
     # fallback (F doesn't tile the row): shared lane-delta per-lane form
     lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
     d = lanes - lane0[:, None]
@@ -430,7 +438,7 @@ def _fused_gather_extract(rows_all, ridx, lane0, ws, offs, F, mm=False):
         m = 0.0
         for w, off in zip(ws, offs):
             m = m + jnp.where(d == off + f, w[:, None], 0.0)
-        outs.append(jnp.sum(r * m, axis=1))  # (n,)
+        outs.append(jnp.sum(r.astype(jnp.float32) * m, axis=1))  # (n,)
     return jnp.stack(outs)
 
 

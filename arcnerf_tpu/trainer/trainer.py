@@ -280,9 +280,9 @@ class ArcNerfTrainer:
         return state
 
     # ------------------------------------------------------------ train step
-    def _train_step_impl(self, state, feed_in, key, cur_epoch):
+    def _train_step_impl(self, state, feed_in, key, cur_epoch, fold_cond=True):
         bound_state = state["bound_state"]
-        if self._fold_optimize:
+        if self._fold_optimize and fold_cond:
             key, opt_key = jax.random.split(key)
             # occupancy update folded into the step under lax.cond: one
             # dispatch per step instead of an extra one every epoch_optim
@@ -373,15 +373,55 @@ class ArcNerfTrainer:
             )
         return new_state
 
+    def _stride_opt_prologue(self, state, keys, epoch0, n):
+        """Occupancy update HOISTED out of the scanned stride body.
+
+        The folded in-body lax.cond re-copied the whole bound_state through
+        the conditional on EVERY scanned step even though it fires at most
+        once per stride (xprof r5: conditional.11/13 = 9.9 ms/step at the
+        64^3 bench grid, ~4% of the step). The prologue runs the update
+        ONCE per stride when any step in [epoch0, epoch0+n) lands on the
+        epoch_optim cadence; the body then treats bound_state as constant.
+
+        Timing note: when a cadence boundary falls MID-stride (epoch_optim
+        not a multiple of scan_steps — no shipped recipe does this), the
+        update runs at stride start instead of the boundary step, a <= n-1
+        step shift of a slow EMA update; the warmup/regular choice uses the
+        boundary step's epoch, not epoch0."""
+        if not self._fold_optimize:
+            return state
+        epoch0_i = jnp.asarray(epoch0, jnp.int32)
+        ts = epoch0_i + jnp.arange(n, dtype=jnp.int32)
+        hits = (ts > 0) & (ts % self.epoch_optim == 0)
+        do_opt = jnp.any(hits)
+        fire_epoch = epoch0_i + jnp.argmax(hits)  # boundary step (if any)
+        opt_key = jax.random.fold_in(keys[0], 7)
+
+        def run_opt(bs):
+            if self.epoch_optim_warmup is not None:
+                return jax.lax.cond(
+                    fire_epoch < self.epoch_optim_warmup,
+                    lambda b: self._optimize_impl(state["params"], b, opt_key, True),
+                    lambda b: self._optimize_impl(state["params"], b, opt_key, False),
+                    bs,
+                )
+            return self._optimize_impl(state["params"], bs, opt_key, False)
+
+        new_bs = jax.lax.cond(do_opt, run_opt, lambda b: b, state["bound_state"])
+        out = dict(state)
+        out["bound_state"] = jax.lax.stop_gradient(new_bs)
+        return out
+
     def _scan_steps_impl(self, state, feed_stack, keys, epoch0):
         """Run keys.shape[0] consecutive train steps on-device under
         lax.scan: one dispatch (and one compile) per stride instead of per
         step. feed_stack leaves are (T, ...) stacks of per-step batches."""
         n = keys.shape[0]
+        state = self._stride_opt_prologue(state, keys, epoch0, n)
 
         def body(st, xs):
             feed, key, t = xs
-            new_st, stats = self._train_step_impl(st, feed, key, epoch0 + t)
+            new_st, stats = self._train_step_impl(st, feed, key, epoch0 + t, fold_cond=False)
             return new_st, stats
 
         state, stats_seq = jax.lax.scan(body, state, (feed_stack, keys, jnp.arange(n)))
@@ -416,19 +456,21 @@ class ArcNerfTrainer:
             feed["bkg_color"] = color
         return shard_batch_in_jit(feed, self.mesh)
 
-    def _train_step_sampled_impl(self, state, pool, key, cur_epoch, n_rays):
+    def _train_step_sampled_impl(self, state, pool, key, cur_epoch, n_rays, fold_cond=True):
         k_sample, k_step = jax.random.split(key)
         feed = self._sample_feed_impl(pool, k_sample, cur_epoch, n_rays)
-        return self._train_step_impl(state, feed, k_step, cur_epoch)
+        return self._train_step_impl(state, feed, k_step, cur_epoch, fold_cond=fold_cond)
 
     def _scan_sampled_impl(self, state, pool, keys, epoch0, n_rays):
         """Stride of train steps with per-step on-device batch sampling:
         ONE dispatch carrying only PRNG keys — no host batch data at all."""
         n = keys.shape[0]
+        state = self._stride_opt_prologue(state, keys, epoch0, n)
 
         def body(st, xs):
             key, t = xs
-            new_st, stats = self._train_step_sampled_impl(st, pool, key, epoch0 + t, n_rays)
+            new_st, stats = self._train_step_sampled_impl(
+                st, pool, key, epoch0 + t, n_rays, fold_cond=False)
             return new_st, stats
 
         state, stats_seq = jax.lax.scan(body, state, (keys, jnp.arange(n)))
