@@ -376,6 +376,15 @@ def _fused_chunk_split(n):
     return n_chunks, ch, n_chunks * ch - n
 
 
+# Lane-extraction construction form: "slot" builds masks on the (n, S)
+# slot view and multiplies the (n, S, F) row view (fewest mask ops);
+# "direct" builds everything on the native (n, 128) row layout (more mask
+# arithmetic, zero relayout). A/B'd in-step on the chip by
+# scripts/probe_laneform.py; applies to the fused forward extract and the
+# backward update construction.
+_LANE_FORM = os.environ.get("ARCNERF_LANE_FORM", "slot")
+
+
 # One-hot-matmul FORWARD row fetch: dense levels with at most this many
 # overlapped rows fetch their (n, 128) gathered-rows tensor as
 # E @ rows (E = one-hot of ridx, bf16) instead of jnp.take. EXACT: rows
@@ -421,6 +430,20 @@ def _fused_gather_extract(rows_all, ridx, lane0, ws, offs, F, mm=False):
         # F-lane values apply in a single broadcast multiply
         # (scripts/probe_cons_forms.py slot forms vs per-lane forms).
         S = 128 // F
+        if _LANE_FORM == "direct":
+            # DIRECT-LANE form: masks and reduce on the (n, 128) row layout
+            # itself — the slot form's (n, S, F) view forces a physical
+            # relayout on TPU (T(8,128) -> T(2,128)(2,1) reshape + copy in
+            # the xprof r5 trace). Extra mask arithmetic rides the VPU; no
+            # HBM round-trip.
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+            q = lanes // F - (lane0 // F)[:, None]
+            m = 0.0
+            for w, off in zip(ws, offs):
+                m = m + jnp.where(q == off // F, w[:, None], 0.0)
+            rm = r.astype(jnp.float32) * m
+            return jnp.stack([
+                jnp.sum(jnp.where(lanes % F == f, rm, 0.0), axis=1) for f in range(F)])
         slots = jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)
         q = slots - (lane0 // F)[:, None]
         m = 0.0
@@ -576,6 +599,22 @@ def _hash_lookup_fused_bwd(spec, resid, g):
         return prof, g2
 
     def build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs):
+        if (_LANE_FORM == "direct" and 128 % F == 0
+                and all(off % F == 0 for off in lane_offs)):
+            # DIRECT-LANE form: the update is born (K, 128) in the
+            # scatter's own row layout — the P-form's (K, S, F) outer
+            # product paid a physical reshape + copy per level on TPU
+            # (xprof r5: ~1.7 ms/level of pure relayout)
+            K = lane0_c.shape[0]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+            q = lanes // F - (lane0_c // F)[:, None]
+            m = 0.0
+            for w_c, off in zip(ws_c, lane_offs):
+                m = m + jnp.where(q == off // F, w_c[:, None], 0.0)
+            gsel = gf_c[F - 1][:, None]
+            for f in range(F - 2, -1, -1):
+                gsel = jnp.where(lanes % F == f, gf_c[f][:, None], gsel)
+            return m * gsel
         fac = build_profile(lane0_c, ws_c, gf_c, lane_offs)
         if fac is not None:
             prof, g2 = fac

@@ -482,3 +482,54 @@ def test_embedder_quad_cpu_fallback_consistent(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     out_tpu = enc.apply(v, xyz)  # fused quad path (jnp graph runs on cpu)
     np.testing.assert_allclose(np.asarray(out_cpu), np.asarray(out_tpu), rtol=1e-6, atol=1e-6)
+
+
+def test_lane_form_direct_matches_slot(monkeypatch):
+    """The direct-lane construction form (masks + update built on the
+    native (n, 128) row layout, ARCNERF_LANE_FORM=direct) must reproduce
+    the slot form's fused-lookup values and table gradients — same math,
+    different reduction layout (tolerance covers reduce-order float
+    association)."""
+    import arcnerf_tpu.models.base_modules.encoding as enc_mod
+    from arcnerf_tpu.models.base_modules.encoding import _hash_lookup_fused
+
+    spec, table, pair_idx, w = _all_paired_case(seed=13)
+    (L, T, F), _, res, dense_ok, _ = spec
+    B = pair_idx.shape[2]
+    g = jnp.asarray(np.random.default_rng(3).normal(size=(F, L, B)).astype(np.float32))
+
+    def run():
+        out = _hash_lookup_fused(spec, table, pair_idx, w)
+        grad = jax.grad(
+            lambda t: jnp.sum(_hash_lookup_fused(spec, t, pair_idx, w) * g))(table)
+        return np.asarray(out), np.asarray(grad)
+
+    monkeypatch.setattr(enc_mod, "_LANE_FORM", "slot")
+    out_s, grad_s = run()
+    monkeypatch.setattr(enc_mod, "_LANE_FORM", "direct")
+    out_d, grad_d = run()
+    np.testing.assert_allclose(out_d, out_s, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(grad_d, grad_s, rtol=1e-5, atol=1e-6)
+
+
+def test_lane_form_direct_embedder_quad_levels(monkeypatch):
+    """Direct lane form through the FULL embedder (quad-hash levels
+    included — their lane offsets exercise the multi-corner masks) must
+    match the slot form's output and table grad."""
+    import arcnerf_tpu.models.base_modules.encoding as enc_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kw = dict(n_levels=4, n_feat_per_entry=2, hashmap_size=10, base_res=4,
+              max_res=64, side=2.0)
+    xyz = jnp.asarray(np.random.default_rng(9).uniform(-0.9, 0.9, size=(64, 3)).astype(np.float32))
+    enc = enc_mod.HashGridEmbedder(**kw)
+    v = enc.init(jax.random.PRNGKey(0), xyz)
+
+    monkeypatch.setattr(enc_mod, "_LANE_FORM", "slot")
+    out_s = np.asarray(enc.apply(v, xyz))
+    g_s = np.asarray(jax.grad(lambda p: jnp.sum(enc.apply(p, xyz) ** 2))(v)["params"]["embeddings"])
+    monkeypatch.setattr(enc_mod, "_LANE_FORM", "direct")
+    out_d = np.asarray(enc.apply(v, xyz))
+    g_d = np.asarray(jax.grad(lambda p: jnp.sum(enc.apply(p, xyz) ** 2))(v)["params"]["embeddings"])
+    np.testing.assert_allclose(out_d, out_s, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(g_d, g_s, rtol=1e-5, atol=1e-6)
