@@ -379,10 +379,12 @@ def _fused_chunk_split(n):
 # Lane-extraction construction form: "slot" builds masks on the (n, S)
 # slot view and multiplies the (n, S, F) row view (fewest mask ops);
 # "direct" builds everything on the native (n, 128) row layout (more mask
-# arithmetic, zero relayout). A/B'd in-step on the chip by
-# scripts/probe_laneform.py; applies to the fused forward extract and the
-# backward update construction.
-_LANE_FORM = os.environ.get("ARCNERF_LANE_FORM", "slot")
+# arithmetic, zero relayout). A/B'd in-step on the chip
+# (scripts/probe_laneform.py, v5e, 32k-ray bench shapes): slot 262.7 vs
+# direct 208.2 ms/step — the slot views' physical relayouts cost ~21% of
+# the whole step. Default direct; values/grads are test-pinned identical
+# across forms (tests/test_pair_encoder.py lane_form tests).
+_LANE_FORM = os.environ.get("ARCNERF_LANE_FORM", "direct")
 
 
 # One-hot-matmul FORWARD row fetch: dense levels with at most this many
