@@ -386,6 +386,16 @@ def _fused_chunk_split(n):
 # across forms (tests/test_pair_encoder.py lane_form tests).
 _LANE_FORM = os.environ.get("ARCNERF_LANE_FORM", "direct")
 
+# Backward update rows in bf16 (scatter-add still accumulates f32 in the
+# destination): the (K, 128) update tensor is the encoder backward's
+# dominant HBM term (~268 MB/level at bench shapes); storing it bf16
+# halves that traffic, rounding each update TERM to bf16 before the f32
+# accumulation — the same numerics regime as the one-hot-matmul backward
+# (_MM_BWD_MAX_R note: TPU bf16 matmul passes round terms identically) and
+# tcnn's half-precision grad accumulation. In-step A/B + quality gate:
+# scripts/probe_bf16_upd.py / docs/benchmark.md r5.
+_BF16_UPD = os.environ.get("ARCNERF_BF16_UPD", "0") == "1"
+
 
 # One-hot-matmul FORWARD row fetch: dense levels with at most this many
 # overlapped rows fetch their (n, 128) gathered-rows tensor as
@@ -616,7 +626,8 @@ def _hash_lookup_fused_bwd(spec, resid, g):
             gsel = gf_c[F - 1][:, None]
             for f in range(F - 2, -1, -1):
                 gsel = jnp.where(lanes % F == f, gf_c[f][:, None], gsel)
-            return m * gsel
+            upd = m * gsel
+            return upd.astype(jnp.bfloat16) if _BF16_UPD else upd
         fac = build_profile(lane0_c, ws_c, gf_c, lane_offs)
         if fac is not None:
             prof, g2 = fac
@@ -652,7 +663,9 @@ def _hash_lookup_fused_bwd(spec, resid, g):
                 e, upd, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         upd = build_upd(rl_c, lane0_c, ws_c, gf_c, lane_offs)
-        return g_rows.at[rl_c].add(upd)
+        # bf16 upd rows upcast inside the scatter's operand read; the
+        # destination accumulation stays f32
+        return g_rows.at[rl_c].add(upd.astype(jnp.float32))
 
     grads = []
     for l in range(L):

@@ -56,7 +56,7 @@ _BUDGETS = {
     "setup": 420.0,
     "train_timing": 660.0,
     "probes": 180.0,
-    "stage_table": 480.0,
+    "stage_table": 600.0,
     "render_full": 360.0,
     "render_windowed": 300.0,  # per tier
     "render_compact": 240.0,
@@ -64,6 +64,14 @@ _BUDGETS = {
     "render_interactive": 300.0,
     "recipe": 600.0,
 }
+for _k in list(_BUDGETS):  # per-section env override: BENCH_BUDGET_RECIPE=300 etc.
+    _v = os.environ.get("BENCH_BUDGET_" + _k.upper())
+    if _v:
+        _BUDGETS[_k] = float(_v)
+
+# sections the supervisor told us to skip (they timed out in a previous
+# worker incarnation; results so far persist in the status file)
+_SKIP_SECTIONS = set(filter(None, os.environ.get("BENCH_SKIP_SECTIONS", "").split(",")))
 _GLOBAL_BUDGET = float(os.environ.get("BENCH_GLOBAL_BUDGET_S", "1680"))
 
 
@@ -94,60 +102,85 @@ def _finalize(status, extra_errors):
 def supervisor_main():
     fd, status_path = tempfile.mkstemp(prefix="bench_status_", suffix=".json")
     os.close(fd)
-    env = dict(os.environ)
-    env[_WORKER_ENV] = status_path
-    env.setdefault("BENCH_T0", str(time.time()))
-    # worker stdout -> our stderr: the one stdout JSON line is ours to print
-    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                            stdout=sys.stderr, stderr=sys.stderr, env=env)
+    base_env = dict(os.environ)
+    base_env[_WORKER_ENV] = status_path
+    base_env.setdefault("BENCH_T0", str(time.time()))
 
     killed = []
+    skip = []  # sections that timed out — the restarted worker skips them
     t_global = time.time()
+    state = {"proc": None, "stop": False}
 
     def _kill(reason):
         killed.append(reason)
         try:
-            proc.kill()
+            state["proc"].kill()
         except Exception:
             pass
 
     def _on_term(signum, frame):
+        state["stop"] = True
         _kill("supervisor received signal {} (driver timeout?)".format(signum))
 
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
 
-    while proc.poll() is None:
-        time.sleep(1.0)
-        st = _read_status(status_path)
-        now = time.time()
-        if now - t_global > _GLOBAL_BUDGET:
-            sec = (st or {}).get("section")
-            _kill("global budget {}s exceeded (in section {})".format(
-                int(_GLOBAL_BUDGET), sec))
-            break
-        if st and st.get("section") and not st.get("done"):
-            budget = float(st.get("section_budget", 600.0))
-            start = float(st.get("section_start", now))
-            if now - start > budget:
-                _kill("section {} exceeded its {}s budget (hang?)".format(
-                    st["section"], int(budget)))
+    # a section timeout kills the worker mid-run; instead of losing every
+    # LATER section, relaunch the worker with the offender in
+    # BENCH_SKIP_SECTIONS — completed results persist in the status file
+    # and the worker fast-forwards past sections whose keys already exist
+    for attempt in range(3):
+        env = dict(base_env)
+        if skip:
+            env["BENCH_SKIP_SECTIONS"] = ",".join(skip)
+        # worker stdout -> stderr: the one stdout JSON line is ours to print
+        state["proc"] = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=sys.stderr, stderr=sys.stderr, env=env)
+        proc = state["proc"]
+        timed_out_section = None
+        while proc.poll() is None:
+            time.sleep(1.0)
+            st = _read_status(status_path)
+            now = time.time()
+            if now - t_global > _GLOBAL_BUDGET:
+                state["stop"] = True
+                _kill("global budget {}s exceeded (in section {})".format(
+                    int(_GLOBAL_BUDGET), (st or {}).get("section")))
                 break
-    try:
-        proc.wait(timeout=30)
-    except Exception:
+            if st and st.get("section") and not st.get("done"):
+                budget = float(st.get("section_budget", 600.0))
+                start = float(st.get("section_start", now))
+                if now - start > budget:
+                    timed_out_section = st["section"]
+                    _kill("section {} exceeded its {}s budget (hang?)".format(
+                        st["section"], int(budget)))
+                    break
         try:
-            proc.kill()
-            proc.wait(timeout=10)
+            proc.wait(timeout=30)
         except Exception:
-            killed.append("worker unkillable")
+            try:
+                proc.kill()
+                proc.wait(timeout=10)
+            except Exception:
+                killed.append("worker unkillable")
+                state["stop"] = True
+        st = _read_status(status_path)
+        if state["stop"] or (st or {}).get("done"):
+            break
+        if timed_out_section is not None:
+            skip.append(timed_out_section)
+            continue  # relaunch, skipping the hung section
+        # worker crashed outside a timeout: record and stop (a crash would
+        # likely repeat)
+        if st is None and not killed:
+            killed.append("worker exited rc={} with no status".format(proc.returncode))
+        elif proc.returncode not in (0, None) and not killed:
+            killed.append("worker exited rc={} in section {}".format(
+                proc.returncode, (st or {}).get("section")))
+        break
 
     st = _read_status(status_path)
-    if st is None and not killed:
-        killed.append("worker exited rc={} with no status".format(proc.returncode))
-    elif proc.returncode not in (0, None) and not killed and not (st or {}).get("done"):
-        killed.append("worker exited rc={} in section {}".format(
-            proc.returncode, (st or {}).get("section")))
     out = _finalize(st, killed)
     # persist a copy for the judge next to the round artifacts
     try:
@@ -171,10 +204,21 @@ class _Status:
 
     def __init__(self, path):
         self.path = path
-        self.out = {}
-        self.errors = []
+        prev = _read_status(path) or {}  # restarted worker resumes results
+        self.out = prev.get("out") or {}
+        self.errors = prev.get("errors") or []
         self.section = None
         self._write()
+
+    def skip(self, name, done_key=None):
+        """True when ``name`` timed out before (supervisor skip list) or its
+        results are already present from a previous worker incarnation."""
+        if name in _SKIP_SECTIONS:
+            note = "section {} skipped (timed out previously)".format(name)
+            if note not in self.errors:
+                self.error(note)
+            return True
+        return done_key is not None and done_key in self.out
 
     def _write(self):
         tmp = self.path + ".tmp"
@@ -308,6 +352,26 @@ def _analytic_per_step(cfgs, n_rays):
     return flops, gather + scatter + adam, P
 
 
+def _core_result(rays_per_sec, step_time, steps, scan_steps, budget_pts,
+                 flops_per_step, hbm_bytes_per_step, achieved_gflops, baseline, trainer):
+    return {
+        "metric": "ngp_train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 4),
+        "steps_timed": steps,
+        "scan_steps": scan_steps,
+        "step_ms": round(step_time * 1e3, 2),
+        "compaction_budget_pts": budget_pts,
+        "flops_per_step": flops_per_step,
+        "achieved_gflops": round(achieved_gflops, 2),
+        "hbm_bytes_per_step": hbm_bytes_per_step,
+        "achieved_hbm_gbps": round(hbm_bytes_per_step / step_time / 1e9, 2),
+        "n_devices": int(trainer.mesh.devices.size),
+        "proj_min_ngp_50kx4096": round(50000 * 4096 / rays_per_sec / 60.0, 1),
+    }
+
+
 def worker_main(status):
     t_bench0 = float(os.environ.get("BENCH_T0", time.time()))
 
@@ -394,64 +458,43 @@ def worker_main(status):
         assert final_loss == final_loss, "loss is NaN"
         return time.perf_counter() - t0
 
-    status.begin("train_timing")
-    elapsed = _guard(status, "train_timing", _train_timing)
-    if elapsed is None:
-        status.done()
-        raise RuntimeError("core train timing failed")
-
-    steps = timed_strides * scan_steps
-    rays_per_sec = steps * n_rays / elapsed
-    step_time = elapsed / steps
-
     flops_per_step, hbm_bytes_per_step, budget_pts = _analytic_per_step(cfgs, n_rays)
-    achieved_gflops = flops_per_step / step_time / 1e9
 
-    baseline = 2.0e5  # reference ArcNerf NGP GPU throughput (see header)
-    status.end({
-        "metric": "ngp_train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / baseline, 4),
-        "steps_timed": steps,
-        "scan_steps": scan_steps,
-        "step_ms": round(step_time * 1e3, 2),
-        "compaction_budget_pts": budget_pts,
-        "flops_per_step": flops_per_step,
-        "achieved_gflops": round(achieved_gflops, 2),
-        "hbm_bytes_per_step": hbm_bytes_per_step,
-        "achieved_hbm_gbps": round(hbm_bytes_per_step / step_time / 1e9, 2),
-        "n_devices": int(trainer.mesh.devices.size),
-        "proj_min_ngp_50kx4096": round(50000 * 4096 / rays_per_sec / 60.0, 1),
-    })
+    if status.skip("train_timing", "step_ms"):
+        # restarted worker: keep the measured numbers, but still warm the
+        # fresh trainer (compile + occupancy settle) for the sections below
+        status.begin("train_timing", _BUDGETS["setup"])
+        _guard(status, "rewarm", lambda: [stride(state.setdefault("epoch", 0))
+                                          for _ in range(warmup_strides)])
+        state["epoch"] += warmup_strides * scan_steps
+        status.end()
+        step_time = float(status.out["step_ms"]) / 1e3
+        achieved_gflops = flops_per_step / step_time / 1e9
+    else:
+        status.begin("train_timing")
+        elapsed = _guard(status, "train_timing", _train_timing)
+        if elapsed is None:
+            status.done()
+            raise RuntimeError("core train timing failed")
 
-    status.begin("probes")
-    peak_gflops = _guard(status, "matmul_peak", lambda: _matmul_peak_probe(jax, jnp, smoke)) or 0.0
-    dispatch_ms = _guard(status, "dispatch", lambda: _dispatch_probe(jax, jnp)) or 0.0
-    status.end({
-        "matmul_peak_gflops": round(peak_gflops, 1),
-        "mfu_vs_probe": round(achieved_gflops / peak_gflops, 4) if peak_gflops else None,
-        "dispatch_ms": round(dispatch_ms, 2),
-    })
+        steps = timed_strides * scan_steps
+        rays_per_sec = steps * n_rays / elapsed
+        step_time = elapsed / steps
+        achieved_gflops = flops_per_step / step_time / 1e9
 
-    # step-stage attribution (VERDICT r3 item 4): named stages of the live
-    # step at the bench shapes; stage_named_coverage tells how much of
-    # step_ms the truncation ladder itself reaches (the remainder is the
-    # optimizer/loss/occupancy lump, also named). Skippable for quick runs.
-    if not smoke and not os.environ.get("BENCH_NO_STAGES") and remaining() > 540:
-        status.begin("stage_table")
-
-        def _stages():
-            from arcnerf_tpu.datasets import get_model_feed_in
-            from arcnerf_tpu.parallel.mesh import shard_batch
-            from arcnerf_tpu.utils.step_surgery import stage_table
-
-            batch = trainer.pipeline.get_train_batch(0)
-            feed, _ = get_model_feed_in(batch)
-            feed = shard_batch(feed, trainer.mesh)
-            return stage_table(trainer, feed, 128, budget_pts, step_ms=step_time * 1e3)
-
-        status.end(_guard(status, "stage_table", _stages) or {})
+        baseline = 2.0e5  # reference ArcNerf NGP GPU throughput (see header)
+        status.end(_core_result(rays_per_sec, step_time, steps, scan_steps, budget_pts,
+                                flops_per_step, hbm_bytes_per_step, achieved_gflops,
+                                baseline, trainer))
+    if not status.skip("probes", "matmul_peak_gflops"):
+        status.begin("probes")
+        peak_gflops = _guard(status, "matmul_peak", lambda: _matmul_peak_probe(jax, jnp, smoke)) or 0.0
+        dispatch_ms = _guard(status, "dispatch", lambda: _dispatch_probe(jax, jnp)) or 0.0
+        status.end({
+            "matmul_peak_gflops": round(peak_gflops, 1),
+            "mfu_vs_probe": round(achieved_gflops / peak_gflops, 4) if peak_gflops else None,
+            "dispatch_ms": round(dispatch_ms, 2),
+        })
 
     # north-star bridge (BASELINE.json: NGP lego >=35 PSNR <5 min + interactive
     # 800x800 FPS): measure one full 800x800 render through the eval path and
@@ -484,18 +527,20 @@ def worker_main(status):
         assert imgs["rgb"].shape[0] == render_wh
         return min(tr), imgs
 
-    status.begin("render_full")
-    full = _guard(status, "render_full", _full_render)
     imgs = None
-    if full is not None:
-        render_s, imgs = full
-        status.end({
-            "render_{}px_ms".format(render_wh): round(render_s * 1e3, 1),
-            "render_fps_{}px".format(render_wh): round(1.0 / render_s, 3),
-            "render_cap_pts": render_cap,
-        })
-    else:
-        status.end()
+    if not status.skip("render_full"):
+        # never key-skipped: later tiers need the reference frame `imgs`
+        status.begin("render_full")
+        full = _guard(status, "render_full", _full_render)
+        if full is not None:
+            render_s, imgs = full
+            status.end({
+                "render_{}px_ms".format(render_wh): round(render_s * 1e3, 1),
+                "render_fps_{}px".format(render_wh): round(1.0 / render_s, 3),
+                "render_cap_pts": render_cap,
+            })
+        else:
+            status.end()
 
     def _psnr_vs_full(rgb):
         mse = float(np.mean((np.asarray(rgb) - np.asarray(imgs["rgb"])) ** 2))
@@ -560,6 +605,14 @@ def worker_main(status):
                 return min(tw), _psnr_vs_full(w_imgs["rgb"])
 
             tag = "s{}".format(s) if rf == 0.0 else "s{}r{}".format(s, int(rf * 100))
+            if status.skip("render_windowed_{}".format(tag),
+                           "render_windowed_{}_ms".format(tag)):
+                p_prev = status.out.get("psnr_windowed_{}_vs_full".format(tag))
+                f_prev = status.out.get("render_windowed_{}_fps".format(tag))
+                if p_prev is not None and p_prev >= 30.0 and (
+                        best is None or f_prev > best[1]):
+                    best = (tag, f_prev, p_prev)
+                continue
             status.begin("render_windowed_{}".format(tag), _BUDGETS["render_windowed"])
             r = _guard(status, "render_windowed_{}".format(tag), _windowed, tries=2)
             if r is None:
@@ -584,7 +637,8 @@ def worker_main(status):
         # the SAME cap — for models without a learned background this is
         # pixel-identical to render_image (hit rays run the identical program,
         # misses are exact background), at ~hit_frac of the chunks
-        if remaining() > 420:
+        if remaining() > 420 and not status.skip(
+                "render_compact", "render_compact_{}px_ms".format(render_wh)):
             def _compact():
                 trainer.set_render_cap(render_cap)
                 return _timed_fast(0.42)
@@ -599,7 +653,8 @@ def worker_main(status):
 
         # interactive mode: compaction + cap 4 (shrinks the compaction budget
         # to chunk*4 — at 32k chunks cap 8 does NOT: min(2^18, 32k*8) = 2^18)
-        if remaining() > 360:
+        if remaining() > 360 and not status.skip(
+                "render_fast", "render_fast_{}px_ms".format(render_wh)):
             def _fast():
                 trainer.set_render_cap(4)
                 return _timed_fast(0.42)
@@ -618,7 +673,8 @@ def worker_main(status):
         # interaction-time lever, ns_viewer/server/viewer_utils.py:657) + cap 4
         # + coarse 64-step ladder, bilinear-upsampled to the full frame.
         inter_scale = 1 if smoke else 3
-        if remaining() > 300:
+        if remaining() > 300 and not status.skip(
+                "render_interactive", "render_interactive_{}px_ms".format(render_wh)):
             def _interactive():
                 trainer.set_render_cap(4, n_sample=64)
                 inter, istats = trainer.render_image_interactive(
@@ -641,6 +697,27 @@ def worker_main(status):
             } if r is not None else {})
         trainer.set_render_cap(render_cap)
 
+    # step-stage attribution (VERDICT r3 item 4): named stages of the live
+    # step at the bench shapes; stage_named_coverage tells how much of
+    # step_ms the truncation ladder itself reaches. Runs AFTER the render
+    # tiers (7 remote compiles — the priciest section on a cold tunnel; a
+    # timeout here must not cost the render keys).
+    if (not smoke and not os.environ.get("BENCH_NO_STAGES") and remaining() > 540
+            and not status.skip("stage_table", "stage_sampling_ms")):
+        status.begin("stage_table")
+
+        def _stages():
+            from arcnerf_tpu.datasets import get_model_feed_in
+            from arcnerf_tpu.parallel.mesh import shard_batch
+            from arcnerf_tpu.utils.step_surgery import stage_table
+
+            batch = trainer.pipeline.get_train_batch(0)
+            feed, _ = get_model_feed_in(batch)
+            feed = shard_batch(feed, trainer.mesh)
+            return stage_table(trainer, feed, 128, budget_pts, step_ms=step_time * 1e3)
+
+        status.end(_guard(status, "stage_table", _stages) or {})
+
     # ----------------------------------------------------------------------
     # Recipe-shaped variant (VERDICT r2 item 5): the projection above rests
     # on the 96x96 toy's valid-point profile. Re-measure at the reference
@@ -649,7 +726,7 @@ def worker_main(status):
     # scene: warm up occupancy at the recipe's 4096-ray batch, read the
     # measured valid-points profile, let the dynamic-batch rule pick the
     # steady bucket for the 2^18 budget, and time at that bucket.
-    if not smoke and remaining() > 480:
+    if not smoke and remaining() > 480 and not status.skip("recipe", "recipe_rays_per_sec"):
         def _recipe():
             cfgs_r = load_configs(os.path.join(root, "configs", "expr", "synthetic_ngp.yaml"))
             update_configs_by_dotlist(cfgs_r, [
@@ -708,7 +785,8 @@ def worker_main(status):
 
         status.begin("recipe")
         status.end(_guard(status, "recipe", _recipe) or {})
-    elif not smoke:
+    elif (not smoke and "recipe_rays_per_sec" not in status.out
+          and "recipe" not in _SKIP_SECTIONS):
         status.error("recipe skipped (global budget)")
 
     status.done()
