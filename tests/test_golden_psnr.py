@@ -25,10 +25,13 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "expr")
 
 # family -> (config file, extra dotted overrides, eval-psnr floor, ssim floor)
 # measured values (CPU mesh, seeded): see docs/tests.md "Golden PSNR bars".
-# SSIM floors (VERDICT r3 weak 6) are set conservatively below the first
-# measured values; docs/tests.md records measurements per nightly run.
+# SSIM floors calibrated from the r5 nightly run (2026-08-19, measured
+# values in docs/tests.md): floor = measured - 0.03. multivol's eval
+# SSIM is legitimately ~0.50 on this scene (bkg-model regime, large
+# train/eval viewpoint gap) — the old 0.60 floor was a pre-measurement
+# guess, not a regression.
 FAMILIES = {
-    "nerf": ("synthetic_nerf.yaml", ["--progress.epoch", "300"], 17.5, 0.70),
+    "nerf": ("synthetic_nerf.yaml", ["--progress.epoch", "300"], 17.5, 0.74),
     "ngp": ("synthetic_ngp.yaml", [
         "--progress.epoch", "400", "--progress.epoch_val", "-1",
         "--dataset.train.n_imgs", "10", "--dataset.train.wh", "[80,80]",
@@ -47,16 +50,16 @@ FAMILIES = {
         # bucket growth, which dominated the old ~2 h suite wall time
         "--n_rays", "4096",
         "--dataset.train.scheduler.dynamic_batch_size.update_epoch", "1000000",
-    ], 23.0, 0.80),
+    ], 23.0, 0.89),
     "neus": ("synthetic_neus.yaml", [
         "--progress.epoch", "400", "--progress.epoch_val", "-1",
         "--dataset.val.n_imgs", "4", "--progress.max_samples_val", "4",
-    ], 20.0, 0.72),
-    "mipnerf": ("synthetic_mipnerf.yaml", [], 18.0, 0.70),
-    "nerfpp": ("synthetic_nerfpp.yaml", [], 16.4, 0.60),
-    "multivol": ("synthetic_multivol.yaml", [], 16.5, 0.60),
-    "hdrnerf": ("synthetic_hdrnerf.yaml", [], 17.2, 0.65),
-    "volsdf": ("synthetic_volsdf.yaml", [], 17.5, 0.65),
+    ], 20.0, 0.86),
+    "mipnerf": ("synthetic_mipnerf.yaml", [], 18.0, 0.80),
+    "nerfpp": ("synthetic_nerfpp.yaml", [], 16.4, 0.70),
+    "multivol": ("synthetic_multivol.yaml", [], 16.5, 0.47),
+    "hdrnerf": ("synthetic_hdrnerf.yaml", [], 17.2, 0.74),
+    "volsdf": ("synthetic_volsdf.yaml", [], 17.5, 0.78),
 }
 
 
