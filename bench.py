@@ -54,7 +54,9 @@ _WORKER_ENV = "_ARCNERF_BENCH_WORKER_STATUS"
 # slow step (r3: ~5 min gap in the log covering compile + renders).
 _BUDGETS = {
     "setup": 420.0,
-    "train_timing": 660.0,
+    # must cover a COLD remote compile of the 16-step scan (~5-8 min on the
+    # tunnel after any HLO-relevant code change) plus warmup + timing
+    "train_timing": 960.0,
     "probes": 180.0,
     "stage_table": 600.0,
     "render_full": 360.0,
@@ -138,6 +140,7 @@ def supervisor_main():
             [sys.executable, os.path.abspath(__file__)],
             stdout=sys.stderr, stderr=sys.stderr, env=env)
         proc = state["proc"]
+        launch_t = time.time()
         timed_out_section = None
         while proc.poll() is None:
             time.sleep(1.0)
@@ -151,6 +154,8 @@ def supervisor_main():
             if st and st.get("section") and not st.get("done"):
                 budget = float(st.get("section_budget", 600.0))
                 start = float(st.get("section_start", now))
+                if start < launch_t - 1:
+                    continue  # stale heartbeat from the killed predecessor
                 if now - start > budget:
                     timed_out_section = st["section"]
                     _kill("section {} exceeded its {}s budget (hang?)".format(
@@ -463,7 +468,7 @@ def worker_main(status):
     if status.skip("train_timing", "step_ms"):
         # restarted worker: keep the measured numbers, but still warm the
         # fresh trainer (compile + occupancy settle) for the sections below
-        status.begin("train_timing", _BUDGETS["setup"])
+        status.begin("train_timing", _BUDGETS["train_timing"])
         _guard(status, "rewarm", lambda: [stride(state.setdefault("epoch", 0))
                                           for _ in range(warmup_strides)])
         state["epoch"] += warmup_strides * scan_steps
