@@ -51,8 +51,10 @@ def main():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     expr_dir = os.path.join(root, "experiments")
+    from arcnerf_tpu.utils.cfgs import get_value_from_cfgs_field, valid_key_in_cfgs
+
     cfgs = load_configs(os.path.join(root, "configs", "expr", args.config))
-    update_configs_by_dotlist(cfgs, [
+    overrides = [
         "--name", args.name, "--dir.expr_dir", expr_dir,
         "--progress.epoch", "1000000", "--progress.epoch_loss", "200",
         "--progress.epoch_val", "-1", "--progress.epoch_save_checkpoint", "1000000",
@@ -66,12 +68,22 @@ def main():
         "--dataset.val.wh", "[{},{}]".format(args.wh, args.wh),
         "--dataset.val.supersample", str(args.ss),
         "--dataset.val.texture_freq", str(args.texture),
-        "--model.rays.n_sample", str(args.n_sample),
-        "--model.obj_bound.volume.n_grid", "64",
-        "--model.obj_bound.epoch_optim_warmup", "32",
-        "--dataset.train.scheduler.dynamic_batch_size.update_epoch", "1000000",
-    ] + ["--" + o if i % 2 == 0 and not o.startswith("--") else o
-         for i, o in enumerate(args.override)])
+    ]
+    if args.n_sample > 0:
+        overrides += ["--model.rays.n_sample", str(args.n_sample)]
+    # occupancy-volume knobs only apply to volume-bounded recipes: injecting
+    # volume keys into a sphere-bound config would CHANGE the bound type
+    # (build_obj_bound selects by cfg keys)
+    obj_bound = get_value_from_cfgs_field(cfgs.model, "obj_bound", None)
+    if obj_bound is not None and valid_key_in_cfgs(obj_bound, "volume"):
+        overrides += ["--model.obj_bound.volume.n_grid", "64",
+                      "--model.obj_bound.epoch_optim_warmup", "32"]
+    sched = get_value_from_cfgs_field(cfgs.dataset.train, "scheduler", None)
+    if sched is not None and valid_key_in_cfgs(sched, "dynamic_batch_size"):
+        overrides += ["--dataset.train.scheduler.dynamic_batch_size.update_epoch", "1000000"]
+    update_configs_by_dotlist(cfgs, overrides + [
+        "--" + o if i % 2 == 0 and not o.startswith("--") else o
+        for i, o in enumerate(args.override)])
     trainer = ArcNerfTrainer(cfgs)
     print("backend:", jax.default_backend(), "pool rays:",
           trainer.pipeline.n_total_rays, flush=True)
