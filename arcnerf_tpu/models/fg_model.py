@@ -215,6 +215,26 @@ class FgModel(Base3dModel):
         raise NotImplementedError("implement _forward in the concrete model")
 
     @staticmethod
+    def _compact_sel_aux(mask_pts, budget):
+        """_compact_sel plus the segment geometry of the compacted stream:
+        ``off`` (B,) unclipped exclusive start rank per ray and ``cnt``
+        (B,) in-stream sample count (clipped to the budget) — what
+        ``segment_march`` needs to integrate the stream without ever
+        scattering back to the (B, N) grid."""
+        n_rays, n_pts = mask_pts.shape
+        total = n_rays * n_pts
+        row = jnp.cumsum(mask_pts.astype(jnp.int32), axis=1)  # (B, N) inclusive
+        tot = row[:, -1]
+        off = jnp.cumsum(tot) - tot  # (B,) exclusive ray offsets
+        g = (row + off[:, None] - 1).reshape(-1)  # global rank per slot
+        g = jnp.where(mask_pts.reshape(-1), jnp.clip(g, 0, budget), budget)
+        sel = jnp.zeros((budget + 1,), jnp.int32).at[g].set(
+            jnp.arange(total, dtype=jnp.int32), mode="drop")[:budget]
+        sel_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.sum(tot)
+        cnt = jnp.clip(budget - off, 0, tot)
+        return sel, sel_valid, off, cnt
+
+    @staticmethod
     def _compact_sel(mask_pts, budget):
         """Flat indices of the first ``budget`` valid points under ANY
         (B, N) mask pattern (prefix or scattered): global ranks from a
@@ -226,16 +246,7 @@ class FgModel(Base3dModel):
         two-level off-search + one-hot-matmul P form measured 47.1 ms).
         Returns (sel (budget,) int32, sel_valid (budget,) bool). sel rows
         past the valid count are 0 — consumers mask them via sel_valid."""
-        n_rays, n_pts = mask_pts.shape
-        total = n_rays * n_pts
-        row = jnp.cumsum(mask_pts.astype(jnp.int32), axis=1)  # (B, N) inclusive
-        tot = row[:, -1]
-        off = jnp.cumsum(tot) - tot  # (B,) exclusive ray offsets
-        g = (row + off[:, None] - 1).reshape(-1)  # global rank per slot
-        g = jnp.where(mask_pts.reshape(-1), jnp.clip(g, 0, budget), budget)
-        sel = jnp.zeros((budget + 1,), jnp.int32).at[g].set(
-            jnp.arange(total, dtype=jnp.int32), mode="drop")[:budget]
-        sel_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.sum(tot)
+        sel, sel_valid, _, _ = FgModel._compact_sel_aux(mask_pts, budget)
         return sel, sel_valid
 
     def compact_point_eval(self, fn, pts, dirs, mask_pts, budget, fill="zero"):
@@ -275,6 +286,20 @@ class FgModel(Base3dModel):
             outs.append(full)
         return tuple(outs)
 
+    def _compact_budget(self, n_rays, inference_only):
+        """Static compaction budget (obj_bound.log_max_allowance), shrunk
+        at inference to the per-ray sample cap when one is set."""
+        budget = self.get_render_cfgs("max_allowance")
+        if inference_only and isinstance(budget, int) and budget > 0:
+            # the per-ray sample cap (_cap_pts_per_ray) bounds the valid
+            # count at n_rays * cap — shrink the STATIC compaction budget to
+            # match so capped eval renders do proportionally less encoder/MLP
+            # work (the cap alone changes no shapes and saves nothing)
+            cap = self.get_render_cfgs("eval_max_pts_per_ray")
+            if cap:
+                budget = min(budget, -(-(n_rays * int(cap)) // 1024) * 1024)
+        return budget
+
     def get_sigma_radiance_by_mask_pts(
         self, geo_net, radiance_net, rays_o, rays_d, zvals, mask_pts=None, inference_only=False
     ):
@@ -286,15 +311,7 @@ class FgModel(Base3dModel):
         n_rays, n_pts = zvals.shape
         total = n_rays * n_pts
 
-        budget = self.get_render_cfgs("max_allowance")
-        if inference_only and isinstance(budget, int) and budget > 0:
-            # the per-ray sample cap (_cap_pts_per_ray) bounds the valid
-            # count at n_rays * cap — shrink the STATIC compaction budget to
-            # match so capped eval renders do proportionally less encoder/MLP
-            # work (the cap alone changes no shapes and saves nothing)
-            cap = self.get_render_cfgs("eval_max_pts_per_ray")
-            if cap:
-                budget = min(budget, -(-(n_rays * int(cap)) // 1024) * 1024)
+        budget = self._compact_budget(n_rays, inference_only)
         use_compact = (
             mask_pts is not None and isinstance(budget, int) and 0 < budget < total
         )
@@ -327,6 +344,58 @@ class FgModel(Base3dModel):
         ]
         radiance = jnp.stack([c.reshape(n_rays, n_pts) for c in chans], axis=-1)
         return sigma.reshape(n_rays, n_pts), radiance
+
+    def fused_render_by_mask_pts(
+        self, geo_net, radiance_net, rays_o, rays_d, zvals, mask_pts, inference_only=False,
+        bkg_color=None
+    ):
+        """Compacted-stream render: evaluate sigma/radiance on the budgeted
+        valid points AND integrate them there (render/ray_helper.py
+        segment_march) — the dense (B, N) grid is never rebuilt, removing
+        the 4-channel scatter-back plus all marching work on the ~94%
+        invalid padding. Numerically matches the dense scattered-mask path
+        (scatter-back + scattered_deltas + alpha_to_weights) to f32
+        rounding; the one divergence is when valid points exceed the
+        budget: the clip-boundary sample gets a zero tail delta here vs a
+        gap-spanning one densely (tests/test_segment_march.py).
+
+        Returns {rgb, depth, mask} per ray, or None when compaction does
+        not apply (no mask, no budget) — caller falls back to the dense
+        path. Only valid for density models with scattered (ladder-order)
+        masks and no importance upsampling."""
+        n_rays, n_pts = zvals.shape
+        total = n_rays * n_pts
+        budget = self._compact_budget(n_rays, inference_only)
+        if not (mask_pts is not None and isinstance(budget, int) and 0 < budget < total):
+            return None
+
+        sel, sel_valid, off, cnt = self._compact_sel_aux(mask_pts, budget)
+        ray_id = sel // n_pts
+        z_sel = jnp.take(zvals.reshape(-1), sel)
+        o_sel = jnp.take(rays_o, ray_id, axis=0)
+        d_sel = jnp.take(rays_d, ray_id, axis=0)
+        pts_sel = o_sel + z_sel[:, None] * d_sel
+
+        sigma_c, radiance_c = self._forward_pts_dir(geo_net, radiance_net, pts_sel, d_sel)
+
+        noise = None
+        noise_std = 0.0 if inference_only else float(self.get_ray_cfgs("noise_std") or 0.0)
+        if noise_std > 0.0:
+            key = self._sample_key(inference_only)
+            if key is not None:
+                noise = jax.random.normal(key, sigma_c.shape, dtype=z_sel.dtype) * noise_std
+
+        from ..render.ray_helper import segment_march
+
+        out = segment_march(
+            sigma_c, radiance_c, z_sel, ray_id, off, cnt, n_rays,
+            add_inf_z=self.get_ray_cfgs("add_inf_z"),
+            white_bkg=self.get_ray_cfgs("white_bkg"),
+            bkg_color=bkg_color,
+            noise=noise,
+        )
+        out.pop("trans_end", None)
+        return out
 
     # ----------------------------------------------------- invalid-ray fill
     def update_values_for_invalid_rays(self, output_valid, mask, rand_bkg_color=None, zero_fill=False):

@@ -7,6 +7,8 @@ nets and a volume/bitfield obj_bound (like the reference's
 nerf_lego_nerf_ngp.yaml recipe).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +16,13 @@ from ..render.ray_helper import sample_pdf
 from ..utils.registry import MODEL_REGISTRY
 from .base_modules import build_geo_model, build_radiance_model
 from .fg_model import FgModel
+
+# Segmented compacted-stream marching (fg_model.fused_render_by_mask_pts):
+# integrate on the compacted point stream instead of scattering sigma/rgb
+# back to the (B, N) grid and marching its ~94% invalid padding. Exact to
+# f32 rounding vs the dense scattered-mask path (tests/test_segment_march.py).
+# ARCNERF_SEG_MARCH=0 forces the dense path.
+_SEG_MARCH = os.environ.get("ARCNERF_SEG_MARCH", "1") == "1"
 
 
 @MODEL_REGISTRY.register()
@@ -47,6 +56,26 @@ class NeRF(FgModel):
         # span gaps exactly like the full render (window composition)
         march_mask = inputs.get("mask_march", mask_pts) if inputs.get("mask_scattered") else None
         output = {}
+
+        # compacted-stream fast path: density model, scattered ladder-order
+        # masks, no window continuation, no importance resampling, and no
+        # progress tensors requested — the per-sample grid is then dead
+        # weight and integration happens on the compacted stream directly
+        if (
+            _SEG_MARCH
+            and not get_progress
+            and mask_pts is not None
+            and inputs.get("mask_scattered")
+            and "mask_march" not in inputs
+            and self.get_ray_cfgs("n_importance") == 0
+        ):
+            out = self.fused_render_by_mask_pts(
+                *self.get_coarse_net(), rays_o, rays_d, zvals, mask_pts, inference_only,
+                bkg_color=bkg_color,
+            )
+            if out is not None:
+                output["coarse"] = out
+                return self.adjust_coarse_fine_output(output, inference_only)
 
         sigma, radiance = self.get_sigma_radiance_by_mask_pts(
             *self.get_coarse_net(), rays_o, rays_d, zvals, mask_pts, inference_only

@@ -304,6 +304,132 @@ def scattered_deltas(zvals, mask, inf_tail=False):
     return deltas
 
 
+def _seg_prod_scan(v, head):
+    """Inclusive segmented cumulative PRODUCT along a 1-D stream.
+
+    ``head`` marks segment starts; within a segment the scan multiplies,
+    at a head it resets to that element. The (value, flag) pair under
+    ``combine`` is the standard segmented-scan monoid (associative), so
+    ``lax.associative_scan`` runs it in log-depth vector passes — no
+    per-element loop, jit/grad-safe. Unlike the exp(cumsum(log)) trick
+    used on the dense grid, products stay LOCAL to each segment: a
+    saturated alpha (log -> -23) cannot poison later rays through a
+    global cumsum's f32 rounding."""
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va * vb), fa | fb
+
+    prod, _ = jax.lax.associative_scan(combine, (v, head))
+    return prod
+
+
+def segment_march(
+    sigma,
+    radiance,
+    z,
+    ray_id,
+    off,
+    cnt,
+    n_rays,
+    add_inf_z=False,
+    white_bkg=False,
+    bkg_color=None,
+    noise=None,
+):
+    """Alpha-composited integration over a COMPACTED sample stream.
+
+    The dense ``ray_marching`` integrates a (N_rays, N_pts) grid in which
+    — under occupancy masks — ~94% of slots are invalid padding. This
+    variant consumes only the compacted valid samples (the exact stream
+    ``FgModel._compact_sel`` feeds to the MLP): rays' samples sit
+    contiguously in z order, so transmittance is a segmented product and
+    each per-ray output a segmented sum. Nothing is ever scattered back to
+    the dense grid (reference `/root/reference/arcnerf/models/fg_model.py:264`
+    scatters into the full grid before marching on it).
+
+    Args:
+        sigma: (K,) density at the compacted samples (first n_valid rows
+            real, the tail is budget padding).
+        radiance: (K, 3) rgb at the samples.
+        z: (K,) z-values of the samples (ascending within each ray).
+        ray_id: (K,) ray index per sample (row-major order: a ray's
+            samples are contiguous; padding rows carry ray_id 0).
+        off: (N_rays,) UNCLIPPED exclusive start rank of each ray.
+        cnt: (N_rays,) per-ray IN-STREAM sample count (clipped to budget).
+        n_rays: static ray count.
+        add_inf_z / white_bkg / bkg_color / noise: as in ``ray_marching``
+            (noise is a pre-drawn (K,) array, not a std).
+
+    Returns dict rgb (N_rays, 3), depth (N_rays,), mask (N_rays,),
+    trans_end (N_rays,) — T after the last valid sample (what the dense
+    path reads as trans_shift[:, -1] when the final ladder slot is
+    invalid padding, which occupancy masks guarantee in practice).
+    """
+    k_total = sigma.shape[0]
+    dtype = z.dtype
+    n_valid = jnp.sum(cnt)
+    valid = jnp.arange(k_total, dtype=jnp.int32) < n_valid
+
+    # deltas span to the next sample of the SAME ray (the compacted stream
+    # holds exactly the valid slots, so this reproduces scattered_deltas's
+    # next-valid gap spanning); segment tails get 0 (drop-last semantics)
+    # or the reference's 1e10 inf tail.
+    next_same = jnp.concatenate(
+        [(ray_id[1:] == ray_id[:-1]) & valid[1:], jnp.zeros((1,), bool)])
+    z_next = jnp.concatenate([z[1:], z[-1:]])
+    deltas = jnp.where(next_same, z_next - z, 0.0)
+    deltas = jnp.where(jnp.abs(deltas) < 1e-5, 0.0, deltas)
+    if add_inf_z:
+        deltas = jnp.where(valid & ~next_same, jnp.asarray(1e10, dtype), deltas)
+
+    s = sigma if noise is None else sigma + noise
+    # same overflow clamp as ray_marching: alpha stays finite under an
+    # inf trunc_exp sigma and the VJP back to it is exactly zero
+    s = jnp.minimum(jax.nn.relu(s), 1e10)
+    alpha = 1.0 - jnp.exp(-s * deltas)
+    alpha = jnp.where(valid, alpha, 0.0)
+
+    # exclusive per-sample transmittance T_i = prod_{j<i in segment}
+    # (1 - alpha_j + 1e-10): scan the SHIFTED factors so no division by a
+    # near-zero (1 - alpha) is ever needed.
+    head = jnp.concatenate([jnp.ones((1,), bool), ray_id[1:] != ray_id[:-1]])
+    one_m_alpha = 1.0 - alpha + 1e-10
+    v = jnp.where(head, 1.0, jnp.concatenate([jnp.ones((1,), dtype), one_m_alpha[:-1]]))
+    trans = _seg_prod_scan(v, head)
+    weights = trans * alpha
+
+    # per-ray outputs are segmented sums: one inclusive cumsum over the
+    # stream + two (N_rays,) gathers per channel — never a scatter into
+    # the (N_rays * N_pts) grid.
+    chans = jnp.stack(
+        [weights, weights * z, weights * radiance[:, 0], weights * radiance[:, 1],
+         weights * radiance[:, 2]], axis=0)
+    csum = jnp.cumsum(chans, axis=1)
+    csum = jnp.concatenate([jnp.zeros((chans.shape[0], 1), dtype), csum], axis=1)
+    start = jnp.minimum(off, k_total)
+    end = jnp.minimum(off + cnt, k_total)
+    sums = jnp.take(csum, end, axis=1) - jnp.take(csum, start, axis=1)  # (5, B)
+
+    mask = sums[0]
+    depth = sums[1]
+    rgb = jnp.moveaxis(sums[2:5], 0, 1)  # (B, 3)
+
+    # T after the whole segment: exclusive T at the last sample times its
+    # own (1 - alpha) factor; empty rays keep T = 1.
+    last = jnp.maximum(end - 1, 0)
+    trans_end = jnp.take(trans, last) * jnp.take(one_m_alpha, last)
+    trans_end = jnp.where(cnt > 0, trans_end, 1.0)
+
+    if bkg_color is not None:
+        rgb = rgb + trans_end[:, None] * bkg_color
+    elif white_bkg:
+        rgb = rgb + (1.0 - mask[:, None])
+
+    return {"rgb": rgb, "depth": depth, "mask": mask, "trans_end": trans_end}
+
+
 def ray_marching(
     sigma,
     radiance,
