@@ -1,0 +1,36 @@
+#!/bin/sh
+# Long-horizon quality gate for the hash-structure flips (VERDICT r4 item 7).
+#
+# The pair_hash/quad_hash defaults were gated at 600 steps (+-0.5 dB noise),
+# which cannot see slow collision-structure damage. This trains the NGP
+# recipe for 10k steps on the r5 ladder scene (supersampled GT + procedural
+# texture, data ceiling >36 dB) twice — the shipped default (quad+pair) vs
+# the instant-ngp XOR-prime hash — with identical seeds/config, and prints
+# val PSNR at 2.5k/5k/7.5k/10k steps. Keep the default only if the 10k-step
+# delta stays within run noise (~0.3 dB).
+#
+# Usage: sh scripts/gate_hash_long.sh   (TPU: ~35 min/arm)
+
+cd "$(dirname "$0")/.."
+for HASH in default ngp; do
+    if [ "$HASH" = default ]; then QH=True; PH=True; else QH=False; PH=False; fi
+    EXPR=experiments/gate_hash_long
+    echo "=== hash=$HASH (quad_hash=$QH pair_hash=$PH) ==="
+    python -u train.py --configs configs/expr/synthetic_ngp.yaml \
+        --name gate_hash_long_$HASH --dir.expr_dir "$EXPR" \
+        --progress.epoch 10000 --progress.epoch_loss 500 \
+        --progress.epoch_val 2500 --progress.epoch_save_checkpoint 1000000 \
+        --progress.max_samples_val 4 --progress.scan_steps 16 \
+        --dataset.train.n_imgs 128 --dataset.train.wh "[400,400]" \
+        --dataset.train.supersample 4 --dataset.train.texture_freq 9.0 \
+        --dataset.val.n_imgs 4 --dataset.val.wh "[400,400]" \
+        --dataset.val.supersample 4 --dataset.val.texture_freq 9.0 \
+        --model.geometry.encoder.quad_hash "$QH" \
+        --model.geometry.encoder.pair_hash "$PH" \
+        --model.obj_bound.volume.n_grid 64 \
+        --model.obj_bound.epoch_optim_warmup 32 \
+        --model.rays.n_sample 128 \
+        --n_rays 32768 \
+        --dataset.train.scheduler.dynamic_batch_size.update_epoch 1000000 \
+        2>&1 | grep -E "epoch |\[val\]|PSNR" | tail -12
+done

@@ -118,9 +118,70 @@ def main():
 
     report("d rank element-scatter", form_d, mask)
 
+    @jax.jit
+    def form_e(mask):
+        # two-level, NO P table: per-key ROW gather of the inclusive row
+        # cumsum (the fast 128-lane-row primitive, ~500 GB/s) + a
+        # compare-reduce for the within-row slot. slot = #positions with
+        # cumsum <= j == index of the (j+1)-th valid sample.
+        row = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # (B, N) inclusive
+        tot = row[:, -1]
+        off = jnp.cumsum(tot) - tot
+        k = jnp.arange(budget, dtype=jnp.int32)
+        r = jnp.clip(jnp.searchsorted(off, k, side="right") - 1, 0, B - 1)
+        j = (k - jnp.take(off, r))[:, None]  # (budget, 1) within-ray rank
+        row_g = jnp.take(row, r, axis=0)  # (budget, N) row gather
+        slot = jnp.sum((row_g <= j).astype(jnp.int32), axis=1)  # (budget,)
+        sel = jnp.clip(r * N + slot, 0, total - 1)
+        return sel.astype(jnp.int32), k < jnp.sum(tot)
+
+    report("e two-level: off-search + row-gather compare", form_e, mask)
+
+    @jax.jit
+    def form_f(mask):
+        # form e with the searchsorted replaced by a SCATTER+CUMSUM ray
+        # lookup: ray r owns output ranks [off[r], off[r]+tot[r]) — scatter
+        # a 1 at each ray's start rank, cumsum over ranks gives
+        # r = (#rays with off <= k) - 1 (exactly searchsorted 'right' - 1).
+        # B-element scatter + budget-element cumsum, no 15x262k gathers.
+        row = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # (B, N) inclusive
+        tot = row[:, -1]
+        off = jnp.cumsum(tot) - tot
+        k = jnp.arange(budget, dtype=jnp.int32)
+        mark = jnp.zeros((budget + 1,), jnp.int32).at[
+            jnp.clip(off, 0, budget)].add(1, mode="drop")
+        r = jnp.clip(jnp.cumsum(mark[:budget]) - 1, 0, B - 1)
+        j = (k - jnp.take(off, r))[:, None]
+        row_g = jnp.take(row, r, axis=0)  # (budget, N) row gather
+        slot = jnp.sum((row_g <= j).astype(jnp.int32), axis=1)
+        sel = jnp.clip(r * N + slot, 0, total - 1)
+        return sel.astype(jnp.int32), k < jnp.sum(tot)
+
+    report("f two-level: scatter-cumsum ray + row-gather", form_f, mask)
+
+    @jax.jit
+    def form_g(mask):
+        # form f with the within-row compare on int16 rows (halves the
+        # (budget, N) gather+compare traffic; N <= 32767 so counts fit)
+        row16 = jnp.cumsum(mask.astype(jnp.int16), axis=1)
+        tot = row16[:, -1].astype(jnp.int32)
+        off = jnp.cumsum(tot) - tot
+        k = jnp.arange(budget, dtype=jnp.int32)
+        mark = jnp.zeros((budget + 1,), jnp.int32).at[
+            jnp.clip(off, 0, budget)].add(1, mode="drop")
+        r = jnp.clip(jnp.cumsum(mark[:budget]) - 1, 0, B - 1)
+        j = (k - jnp.take(off, r)).astype(jnp.int16)[:, None]
+        row_g = jnp.take(row16, r, axis=0)  # (budget, N) int16 row gather
+        slot = jnp.sum((row_g <= j).astype(jnp.int32), axis=1)
+        sel = jnp.clip(r * N + slot, 0, total - 1)
+        return sel.astype(jnp.int32), k < jnp.sum(tot)
+
+    report("g form f with int16 rows", form_g, mask)
+
     # numeric parity
     a = jax.device_get(form_a(mask))
-    for name, f in (("b", form_b), ("c", form_c), ("d", form_d)):
+    for name, f in (("b", form_b), ("c", form_c), ("d", form_d), ("e", form_e),
+                    ("f", form_f), ("g", form_g)):
         got = jax.device_get(f(mask))
         nv = int(a[1].sum())
         ok = np.array_equal(np.asarray(a[0])[:nv], np.asarray(got[0])[:nv])
