@@ -20,6 +20,8 @@ TPU-first differences:
   output['n_valid_pts'] for the trainer's recompile-free ray-bucket logic.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +38,13 @@ from .base_modules.obj_bound import build_obj_bound
 # Keyed by the serialized obj_bound subtree so in-place cfg edits still
 # rebuild correctly.
 _BOUND_CACHE = {}
+
+# _compact_sel construction form: "rowgather" (two-level row-gather, 13.0 ms
+# at bench shapes) or "rank" (one element-scatter of flat indices by global
+# rank, 29.4 ms) — scripts/probe_compact_sel.py. Both are exact for the
+# valid prefix; they differ only in which arbitrary in-range index padding
+# rows carry (consumers must mask via sel_valid either way).
+_COMPACT_SEL_FORM = os.environ.get("ARCNERF_COMPACT_SEL", "rowgather")
 
 
 def _cached_obj_bound(model_cfgs):
@@ -226,10 +235,29 @@ class FgModel(Base3dModel):
         row = jnp.cumsum(mask_pts.astype(jnp.int32), axis=1)  # (B, N) inclusive
         tot = row[:, -1]
         off = jnp.cumsum(tot) - tot  # (B,) exclusive ray offsets
-        g = (row + off[:, None] - 1).reshape(-1)  # global rank per slot
-        g = jnp.where(mask_pts.reshape(-1), jnp.clip(g, 0, budget), budget)
-        sel = jnp.zeros((budget + 1,), jnp.int32).at[g].set(
-            jnp.arange(total, dtype=jnp.int32), mode="drop")[:budget]
+        if _COMPACT_SEL_FORM == "rowgather":
+            # two-level ROW-GATHER form (scripts/probe_compact_sel.py form f:
+            # 13.0 vs the rank element-scatter's 29.4 ms at bench shapes,
+            # exact parity). Level 1 — the owning ray of output rank k:
+            # scatter a mark at each ray's start rank, cumsum over ranks
+            # (== searchsorted(off, k, 'right') - 1, without 15x262k binary-
+            # search gathers; XLA's searchsorted alone measured 45 ms).
+            # Level 2 — the within-row slot: gather the ray's inclusive
+            # cumsum ROW (the fast 128-lane primitive) and count positions
+            # with cumsum <= local rank.
+            k = jnp.arange(budget, dtype=jnp.int32)
+            mark = jnp.zeros((budget + 1,), jnp.int32).at[
+                jnp.clip(off, 0, budget)].add(1, mode="drop")
+            r = jnp.clip(jnp.cumsum(mark[:budget]) - 1, 0, n_rays - 1)
+            j = (k - jnp.take(off, r))[:, None]
+            row_g = jnp.take(row, r, axis=0)  # (budget, N) row gather
+            slot = jnp.sum((row_g <= j).astype(jnp.int32), axis=1)
+            sel = jnp.clip(r * n_pts + slot, 0, total - 1)
+        else:  # "rank": one element-scatter of flat indices by global rank
+            g = (row + off[:, None] - 1).reshape(-1)  # global rank per slot
+            g = jnp.where(mask_pts.reshape(-1), jnp.clip(g, 0, budget), budget)
+            sel = jnp.zeros((budget + 1,), jnp.int32).at[g].set(
+                jnp.arange(total, dtype=jnp.int32), mode="drop")[:budget]
         sel_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.sum(tot)
         cnt = jnp.clip(budget - off, 0, tot)
         return sel, sel_valid, off, cnt
@@ -237,15 +265,11 @@ class FgModel(Base3dModel):
     @staticmethod
     def _compact_sel(mask_pts, budget):
         """Flat indices of the first ``budget`` valid points under ANY
-        (B, N) mask pattern (prefix or scattered): global ranks from a
-        per-row cumsum + row offsets, then ONE rank element-scatter of the
-        flat indices (valid ranks are unique; clipped/invalid ranks land
-        on a dump slot past ``budget``). Replaces the budget-key
-        searchsorted into the 4.2M-element cumsum — 30.5 ms vs 54.5 ms at
-        the bench shapes, exact-parity (scripts/probe_compact_sel.py; the
-        two-level off-search + one-hot-matmul P form measured 47.1 ms).
-        Returns (sel (budget,) int32, sel_valid (budget,) bool). sel rows
-        past the valid count are 0 — consumers mask them via sel_valid."""
+        (B, N) mask pattern (prefix or scattered); see _COMPACT_SEL_FORM
+        for the two measured constructions. Returns (sel (budget,) int32,
+        sel_valid (budget,) bool). sel rows past the valid count carry an
+        arbitrary in-range index (0 under the rank form, a clipped
+        neighbor under rowgather) — consumers MUST mask via sel_valid."""
         sel, sel_valid, _, _ = FgModel._compact_sel_aux(mask_pts, budget)
         return sel, sel_valid
 

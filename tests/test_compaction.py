@@ -91,3 +91,40 @@ def test_sdf_compaction_matches_dense():
 
     np.testing.assert_allclose(np.asarray(out_compact["rgb"]), np.asarray(out_dense["rgb"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_compact["depth"]), np.asarray(out_dense["depth"]), atol=1e-4)
+
+
+def test_compact_sel_forms_parity():
+    """rowgather and rank forms of _compact_sel_aux must agree on the valid
+    prefix (sel), on sel_valid, and exactly on off/cnt — under scattered,
+    prefix, empty-ray, and over-budget mask patterns."""
+    from arcnerf_tpu.models import fg_model as fgm
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (rng.random((16, 32)) < 0.3, 128),           # scattered
+        (rng.random((16, 32)) < 0.3, 64),            # over budget (clipped)
+        (np.arange(32)[None, :] < rng.integers(0, 32, (16, 1)), 128),  # prefix
+        (np.zeros((16, 32), bool), 32),              # all empty
+    ]
+    cases[0][0][3] = False  # force an empty ray among scattered rows
+
+    def run(form, mask, budget):
+        old = fgm._COMPACT_SEL_FORM
+        fgm._COMPACT_SEL_FORM = form
+        try:
+            return jax.tree_util.tree_map(
+                np.asarray, fgm.FgModel._compact_sel_aux(jnp.asarray(mask), budget))
+        finally:
+            fgm._COMPACT_SEL_FORM = old
+
+    for mask, budget in cases:
+        sel_a, val_a, off_a, cnt_a = run("rank", mask, budget)
+        sel_b, val_b, off_b, cnt_b = run("rowgather", mask, budget)
+        nv = int(val_a.sum())
+        assert np.array_equal(val_a, val_b)
+        assert np.array_equal(sel_a[:nv], sel_b[:nv])
+        assert np.array_equal(off_a, off_b)
+        assert np.array_equal(cnt_a, cnt_b)
+        # padding rows must still be in-range (consumers gather before masking)
+        total = mask.size
+        assert sel_b.min() >= 0 and sel_b.max() < total
