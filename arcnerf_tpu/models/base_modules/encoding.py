@@ -334,6 +334,19 @@ def _pack_quad_rows(table_l, T, F, gather_dtype):
     return jnp.concatenate([h[:R], h[1 : R + 1]], axis=1).astype(gather_dtype)
 
 
+def _pack_quad_rows_batched(table_q, T, F, gather_dtype):
+    """(Q, T, F) stacked quad-level tables -> (Q, T//32, 128) overlapped
+    rows in ONE retile. Per-level _pack_quad_rows reshapes are
+    LATENCY-bound on TPU (xprof r5b: ~0.8 ms for a 4 MB retile, ~80x off
+    bandwidth); batching all quad levels amortizes that into one
+    bandwidth-bound pass over the ~50 MB stack."""
+    Q = table_q.shape[0]
+    R = T // _QUAD_STRIDE
+    can = jnp.concatenate([table_q, table_q[:, :_QUAD_STRIDE]], axis=1)
+    h = can.reshape(Q, R + 1, _QUAD_STRIDE * F)
+    return jnp.concatenate([h[:, :R], h[:, 1:]], axis=2).astype(gather_dtype)
+
+
 def _fused_row_offsets(spec):
     """Per-level row offsets into the concatenated overlapped-row table."""
     (L, T, F), _, res, dense_ok, pair_hash = spec[:5]
@@ -395,6 +408,18 @@ _LANE_FORM = os.environ.get("ARCNERF_LANE_FORM", "direct")
 # tcnn's half-precision grad accumulation. In-step A/B + quality gate:
 # scripts/probe_bf16_upd.py / docs/benchmark.md r5.
 _BF16_UPD = os.environ.get("ARCNERF_BF16_UPD", "0") == "1"
+
+# Batched quad-level pack (fwd) / overlap fold (bwd): amortize the
+# per-level latency-bound retiles into one bandwidth-bound batched op.
+# MEASURED AND REJECTED (r5): xprof r5b showed 11 x ~1.2 ms of per-level
+# data-formatting retiles, but batching both directions REGRESSED the
+# step 172.5 -> 198.9 ms (probe_seg_march A/B) — the (Q, R, 128) batch
+# extends every level's buffer lifetime across the whole encoder pass,
+# costing more in scheduling than the retiles; and the fold-only variant
+# hung the remote XLA compile twice (>16 min vs the usual ~9). Both
+# default OFF; kept behind env flags as documentation of the experiment.
+_BATCH_PACK = os.environ.get("ARCNERF_BATCH_PACK", "0") == "1"
+_BATCH_FOLD = os.environ.get("ARCNERF_BATCH_FOLD", "0") == "1"
 
 
 # One-hot-matmul FORWARD row fetch: dense levels with at most this many
@@ -543,9 +568,17 @@ def _hash_lookup_fused(spec, table, pair_idx, w):
     # per-level gathers (not one merged gather over concatenated tables):
     # measured 94.1 vs 121.2 ms at the bench shapes — the per-level
     # transients schedule/free better (scripts/probe_fused_bwd.py --fwd)
+    quad = _quad_levels(spec)
+    q_lvls = [l for l in range(L) if quad[l]]
+    q_of = {l: i for i, l in enumerate(q_lvls)} if _BATCH_PACK else {}
+    if q_of:
+        contig = q_lvls == list(range(q_lvls[0], q_lvls[0] + len(q_lvls)))
+        tq = (table[q_lvls[0]: q_lvls[0] + len(q_lvls)] if contig  # free slice
+              else jnp.stack([table[l] for l in q_lvls]))
+        rows_q = _pack_quad_rows_batched(tq, T, F, gather_dtype)
     outs = []
     for l in range(L):
-        rows = _fused_level_rows(spec, table, l, gather_dtype)
+        rows = rows_q[q_of[l]] if l in q_of else _fused_level_rows(spec, table, l, gather_dtype)
         rl, lane0, ws, offs, mm, nc = _fused_level_idx(spec, pair_idx, w, l)
         Nl = nc * B
         if Nl <= _FUSED_CHUNK_ROWS:
@@ -667,7 +700,8 @@ def _hash_lookup_fused_bwd(spec, resid, g):
         # destination accumulation stays f32
         return g_rows.at[rl_c].add(upd.astype(jnp.float32))
 
-    grads = []
+    grads = [None] * L
+    quad_halves = []  # per quad level: (R+1, 64) half-slot gradients
     for l in range(L):
         R = int(row_offs[l + 1] - row_offs[l])
         rl, lane0, ws, lane_offs, _, nc = _fused_level_idx(spec, pair_idx, w, l)
@@ -692,14 +726,21 @@ def _hash_lookup_fused_bwd(spec, resid, g):
                 lambda gr, c: (accum_rows(gr, c[0], c[1], tuple(c[2:2 + nw]), c[-1], lane_offs), None),
                 g_rows0, xs + (gf_c,))
         if quad[l]:
-            # overlap fold: row = two aligned 32-entry halves -> two
-            # shifted slice-adds into (R+1) half-slots, then the 32-entry
-            # wrap pad folds onto the head. Pure slice arithmetic.
+            # overlap fold, stage 1 (per level): row = two aligned
+            # 32-entry halves -> two shifted slice-adds into (R+1)
+            # half-slots. Under _BATCH_FOLD the half-slot -> entry retile
+            # is deferred to ONE batched reshape over all quad levels
+            # below: the per-level (R+1, 64) -> (T+32, F) retiles are
+            # latency-bound on TPU (xprof r5b: 11 x ~1.2 ms of pure data
+            # formatting).
             g2 = g_rows.reshape(R, 2, _QUAD_STRIDE * F)
             half = jnp.zeros((R + 1, _QUAD_STRIDE * F), jnp.float32)
             half = half.at[:R].add(g2[:, 0]).at[1:].add(g2[:, 1])
+            if _BATCH_FOLD:
+                quad_halves.append(half)
+                continue
             ent = half.reshape((R + 1) * _QUAD_STRIDE, F)
-            grads.append(ent[:T].at[:_QUAD_STRIDE].add(ent[T:]))
+            grads[l] = ent[:T].at[:_QUAD_STRIDE].add(ent[T:])
             continue
         g4 = g_rows.reshape(R, cpr + 1, F)
         main = g4[:, :cpr].reshape(R * cpr, F)
@@ -710,7 +751,28 @@ def _hash_lookup_fused_bwd(spec, resid, g):
         flat = flat.at[cpr: cpr * R + 1: cpr].add(extra)
         if need > T:  # wrap pad folds back onto the head
             flat = flat.at[: need - T].add(flat[T:need]).at[T:].set(0.0)
-        grads.append(flat[:T])
+        grads[l] = flat[:T]
+    if quad_halves:
+        # overlap fold, stage 2 (batched): one (Q, R+1, 64) -> (Q, T+32, F)
+        # retile for every quad level, then the 32-entry wrap pad folds
+        # onto each level's head with one slice-add.
+        H = jnp.stack(quad_halves)  # (Q, R+1, 64)
+        Q = H.shape[0]
+        ent = H.reshape(Q, (T // _QUAD_STRIDE + 1) * _QUAD_STRIDE, F)
+        gq = ent[:, :T].at[:, :_QUAD_STRIDE].add(ent[:, T:])
+        for i, l in enumerate([l for l in range(L) if quad[l]]):
+            grads[l] = gq[i]
+        q_lvls = [l for l in range(L) if quad[l]]
+        if q_lvls == list(range(q_lvls[0], q_lvls[0] + Q)):
+            # contiguous quad suffix/run: stack the non-quad prefix/suffix
+            # around the batched block so no per-level slice of gq is ever
+            # materialized (XLA treats gq[i] re-stacks as copies)
+            pre = grads[: q_lvls[0]]
+            post = grads[q_lvls[0] + Q:]
+            parts = ([jnp.stack(pre)] if pre else []) + [gq] + ([jnp.stack(post)] if post else [])
+            out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            zero_i = np.zeros(pair_idx.shape, dtype=jax.dtypes.float0)
+            return out, zero_i, jnp.zeros_like(w)
     zero_i = np.zeros(pair_idx.shape, dtype=jax.dtypes.float0)
     return jnp.stack(grads), zero_i, jnp.zeros_like(w)
 

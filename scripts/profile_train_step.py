@@ -24,10 +24,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=32768)
     ap.add_argument("--quad", action="store_true")
+    ap.add_argument("--scan", action="store_true",
+                    help="trace the scan-stride production path (cached compile)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/arcnerf_tpu_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     from arcnerf_tpu.datasets import get_model_feed_in
     from arcnerf_tpu.parallel.mesh import shard_batch
@@ -39,7 +47,8 @@ def main():
     cfgs = load_configs(os.path.join(root, "configs", "expr", "synthetic_ngp.yaml"))
     update_configs_by_dotlist(cfgs, [
         "--name", "profile_step", "--dir.expr_dir", "/tmp/profile_step",
-        "--progress.epoch", "8", "--progress.epoch_loss", "1000000",
+        "--progress.scan_steps", "16" if args.scan else "1",
+        "--progress.epoch", "64", "--progress.epoch_loss", "1000000",
         "--progress.epoch_val", "-1", "--progress.epoch_save_checkpoint", "1000000",
         "--n_rays", str(args.rays),
         "--dataset.train.n_imgs", "10", "--dataset.train.wh", "[96,96]",
@@ -52,20 +61,35 @@ def main():
     trainer = ArcNerfTrainer(cfgs)
     print("backend:", jax.default_backend(), flush=True)
 
-    batch = trainer.pipeline.get_train_batch(0)
-    feed, _ = get_model_feed_in(batch)
-    feed = shard_batch(feed, trainer.mesh)
-    key = jax.random.PRNGKey(0)
-    state = trainer.state
-    for i in range(3):  # compile + settle
-        state, stats = trainer._train_step(state, feed, key, i)
-    np.asarray(jax.device_get(stats["loss"]))
-
-    with jax.profiler.trace(out):
-        for i in range(3):
-            state, stats = trainer._train_step(state, feed, key, 3 + i)
+    if args.scan:
+        # trace the PRODUCTION scan-stride path (already in the persistent
+        # compile cache from the probes/bench — the single-step graph below
+        # is a separate compile costing ~10 min through the tunnel)
+        scan = trainer.scan_steps
+        epoch = 0
+        for _ in range(2):  # compile + settle
+            stats = trainer.train_steps(epoch, scan)
+            epoch += scan
+        float(stats["loss"])
+        with jax.profiler.trace(out):
+            stats = trainer.train_steps(epoch, scan)
+            float(stats["loss"])
+        print("trace written to", out, "({} scanned steps)".format(scan), flush=True)
+    else:
+        batch = trainer.pipeline.get_train_batch(0)
+        feed, _ = get_model_feed_in(batch)
+        feed = shard_batch(feed, trainer.mesh)
+        key = jax.random.PRNGKey(0)
+        state = trainer.state
+        for i in range(3):  # compile + settle
+            state, stats = trainer._train_step(state, feed, key, i)
         np.asarray(jax.device_get(stats["loss"]))
-    print("trace written to", out, flush=True)
+
+        with jax.profiler.trace(out):
+            for i in range(3):
+                state, stats = trainer._train_step(state, feed, key, 3 + i)
+            np.asarray(jax.device_get(stats["loss"]))
+        print("trace written to", out, flush=True)
 
     # ---- parse: find the newest .trace.json.gz (perfetto) or xplane.pb
     paths = sorted(glob.glob(os.path.join(out, "**", "*.trace.json.gz"), recursive=True),
